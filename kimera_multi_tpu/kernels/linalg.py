@@ -1,0 +1,156 @@
+"""Analytic batched small-matrix linear algebra.
+
+RANSAC hypothesis solving needs thousands of tiny (3x3) eigen/SVD problems
+per candidate. XLA's generic `linalg.svd`/`eigh` lower to iterative custom
+calls that serialize poorly on TPU; these closed-form versions are pure VPU
+elementwise math, fully vmappable, branchless — the speed-of-light path for
+the batched minimal solvers (role of Eigen's small-matrix solvers inside
+opengv, SURVEY.md section 2.1 `opengv` row).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular as _solve_triangular
+
+_EPS = 1e-12
+
+
+def eigh3x3(A: jnp.ndarray):
+    """Analytic eigendecomposition of symmetric (..., 3, 3) matrices.
+
+    Returns (eigvals (..., 3) DESCENDING, eigvecs (..., 3, 3) columns).
+    Eberly's trigonometric method for values; eigenvectors via the
+    largest cross-product of rows of (A - lambda I), with degeneracy
+    fallbacks selected branchlessly.
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22) / 6.0 + (
+        a01 * a01 + a02 * a02 + a12 * a12
+    ) / 3.0
+    p = jnp.sqrt(jnp.maximum(p2, _EPS))
+    # det(B)/ (2 p^3)
+    detB = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    )
+    r = jnp.clip(detB / (2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # eigenvalues in descending order
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    evals = jnp.stack([e1, e2, e3], axis=-1)
+
+    v1 = _eigvec(A, e1)
+    v3_raw = _eigvec(A, e3)
+    # Orthogonalize v3 against v1 (exact for distinct eigenvalues; rescues
+    # near-degenerate cases), v2 = v3 x v1.
+    v3 = v3_raw - jnp.sum(v3_raw * v1, axis=-1, keepdims=True) * v1
+    n3 = jnp.linalg.norm(v3, axis=-1, keepdims=True)
+    # Degenerate (e1 ~ e3 ~ isotropic): any orthonormal frame works.
+    v3_fb = _any_orthogonal(v1)
+    v3 = jnp.where(n3 > 1e-6, v3 / jnp.maximum(n3, _EPS), v3_fb)
+    v2 = jnp.cross(v3, v1)
+    V = jnp.stack([v1, v2, v3], axis=-1)  # columns
+    return evals, V
+
+
+def _eigvec(A: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
+    """Eigenvector of symmetric 3x3 for eigenvalue lam: the largest cross
+    product of two rows of (A - lam I) is orthogonal to both -> eigvec."""
+    M = A - lam[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    best = jnp.argmax(jnp.stack([n01, n02, n12], axis=-1), axis=-1)
+    cands = jnp.stack([c01, c02, c12], axis=-2)
+    v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, axis=-1), axis=-2)[
+        ..., 0, :
+    ]
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # Rank-deficient M (repeated eigenvalue): fall back to any unit vector
+    # orthogonal to the largest row of M.
+    rows = jnp.stack([r0, r1, r2], axis=-2)
+    rn = jnp.linalg.norm(rows, axis=-1)
+    big_row = jnp.take_along_axis(
+        rows, jnp.argmax(rn, axis=-1)[..., None, None].repeat(3, axis=-1), axis=-2
+    )[..., 0, :]
+    fb = _any_orthogonal(_safe_unit(big_row))
+    return jnp.where(n > 1e-9, v / jnp.maximum(n, _EPS), fb)
+
+
+def _safe_unit(v: jnp.ndarray) -> jnp.ndarray:
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    e0 = jnp.zeros_like(v).at[..., 0].set(1.0)
+    return jnp.where(n > 1e-9, v / jnp.maximum(n, _EPS), e0)
+
+
+def _any_orthogonal(u: jnp.ndarray) -> jnp.ndarray:
+    """A unit vector orthogonal to unit vector u, branchless."""
+    # Pick the basis vector least aligned with u, orthogonalize.
+    absu = jnp.abs(u)
+    k = jnp.argmin(absu, axis=-1)
+    e = jnp.zeros_like(u)
+    e = jnp.take_along_axis(
+        jnp.broadcast_to(jnp.eye(3, dtype=u.dtype), u.shape[:-1] + (3, 3)),
+        k[..., None, None].repeat(3, axis=-1),
+        axis=-2,
+    )[..., 0, :]
+    v = jnp.cross(u, e)
+    return _safe_unit(v)
+
+
+def so3_procrustes(H: jnp.ndarray):
+    """R* = argmax_{R in SO(3)} tr(R H) for (..., 3, 3) H — the rotation
+    step of Arun's 3d-3d alignment, closed form.
+
+    Uses H = U S V^T via eigh(H^T H); completes rank-2 H (always the case
+    for 3-point minimal sets: centered points are coplanar) with cross
+    products, which also enforces det(R) = +1 without branching.
+
+    Returns (R, ok) where ok is False when rank(H) < 2 (degenerate sample:
+    collinear points — the hypothesis must be masked out).
+    """
+    A = jnp.swapaxes(H, -1, -2) @ H
+    evals, V = eigh3x3(A)
+    s = jnp.sqrt(jnp.maximum(evals, 0.0))  # singular values, descending
+    v1, v2 = V[..., :, 0], V[..., :, 1]
+    u1 = _safe_unit(jnp.einsum("...ij,...j->...i", H, v1))
+    u2_raw = jnp.einsum("...ij,...j->...i", H, v2)
+    # re-orthogonalize u2 against u1 for numerical safety
+    u2 = _safe_unit(u2_raw - jnp.sum(u2_raw * u1, axis=-1, keepdims=True) * u1)
+    u3 = jnp.cross(u1, u2)
+    v3 = jnp.cross(v1, v2)
+    U = jnp.stack([u1, u2, u3], axis=-1)
+    Vp = jnp.stack([v1, v2, v3], axis=-1)
+    # tr(R H) maximized by R = U V^T in the H = U S V^T convention:
+    # tr(R H)=tr(R U S V^T) -> R = V U^T? Convention check in tests; we
+    # return R such that R maximizes tr(R H):
+    R = Vp @ jnp.swapaxes(U, -1, -2)
+    ok = s[..., 1] > 1e-7 * jnp.maximum(s[..., 0], 1.0)
+    return R, ok
+
+
+def cholesky_solve(A: jnp.ndarray, b: jnp.ndarray, damping: float = 0.0) -> jnp.ndarray:
+    """Batched SPD solve: x = A^{-1} b. A (..., n, n); b (..., n) or
+    (..., n, k)."""
+    n = A.shape[-1]
+    if damping:
+        A = A + damping * jnp.eye(n, dtype=A.dtype)
+    L = jnp.linalg.cholesky(A)
+    squeeze = b.ndim == A.ndim - 1
+    if squeeze:
+        b = b[..., None]
+    y = _solve_triangular(L, b, lower=True)
+    x = _solve_triangular(jnp.swapaxes(L, -1, -2), y, lower=False)
+    return x[..., 0] if squeeze else x

@@ -1,0 +1,171 @@
+"""Fixed-iteration batched RANSAC.
+
+The verification hot kernel (SURVEY.md section 3.2: "the verifications/s
+north-star kernel"). Replaces opengv's sequential RANSAC loops with a
+fully-batched design: all `n_hyp` hypotheses are sampled deterministically
+up front (counter-based, replicating the role of the reference's
+`ransac_randomize: 0` + seeded engine, LcdParams.yaml:64-66), solved with
+closed-form vmapped minimal solvers, and scored against all correspondences
+at once. No early exit — fixed shapes, mask semantics, identical results
+independent of batching or device count.
+
+Reference envelope: <= 500 iterations, p = 0.995 (LcdParams.yaml:64-65);
+acceptance thresholds mono >= 10, stereo >= 5 inliers (LcdParams.yaml:51-52).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng as rng_mod
+from . import minimal
+
+_EPS = 1e-12
+
+
+def _masked_sample(key, valid: jnp.ndarray, n_hyp: int, k: int) -> jnp.ndarray:
+    """(n_hyp, k) distinct indices drawn only from valid positions.
+
+    Requires >= k valid entries; with fewer, indices repeat across the valid
+    set and downstream `ok` masking rejects those hypotheses.
+    """
+    n = valid.shape[0]
+    keys = jax.random.split(key, n_hyp)
+    u = jax.vmap(lambda kk: jax.random.uniform(kk, (n,)))(keys)
+    u = jnp.where(valid[None, :], u, -1.0)
+    _, idx = jax.lax.top_k(u, k)
+    return idx.astype(jnp.int32)
+
+
+def ransac_arun(
+    key,
+    p: jnp.ndarray,
+    q: jnp.ndarray,
+    valid: jnp.ndarray,
+    threshold: float = 0.3,
+    n_hyp: int = 500,
+    min_inliers: int = 5,
+    refine: bool = True,
+):
+    """3d3d RANSAC with Arun minimal solver (k=3).
+
+    p, q: (K, 3) corresponding 3D points (p in frame A, q in frame B);
+    valid: (K,) mask. threshold: inlier distance in meters
+    (`ransac_threshold_3d3d: 0.3`). Returns dict with R, t (B<-A ... the
+    transform satisfying q ~ R p + t), inliers (K,), n_inliers, ok.
+    """
+    K = p.shape[0]
+    idx = _masked_sample(key, valid, n_hyp, 3)
+    ps = p[idx]  # (H, 3, 3)
+    qs = q[idx]
+    R_h, t_h, ok_h = minimal.arun_3d3d(ps, qs)  # (H, 3, 3), (H, 3), (H,)
+    # distinctness guard: degenerate if sample has repeated index
+    srt = jnp.sort(idx, axis=1)
+    distinct = jnp.all(srt[:, 1:] != srt[:, :-1], axis=1)
+    ok_h = ok_h & distinct
+
+    # score: ||q - (R p + t)|| < threshold
+    resid = q[None, :, :] - (
+        jnp.einsum("hij,kj->hki", R_h, p) + t_h[:, None, :]
+    )  # (H, K, 3)
+    d2 = jnp.sum(resid * resid, axis=-1)
+    inl = (d2 < threshold * threshold) & valid[None, :]
+    counts = jnp.sum(inl, axis=1) * ok_h
+    best = jnp.argmax(counts)
+    best_inl = inl[best]
+    R_b, t_b = R_h[best], t_h[best]
+    if refine:
+        # weighted re-solve on the consensus set (the reference's
+        # optimize_3d3d_pose_from_inliers is off by default, but the
+        # re-solve improves accuracy at negligible cost; inlier SET is
+        # recomputed afterwards for reporting consistency)
+        w = best_inl.astype(p.dtype)
+        R_r, t_r, ok_r = minimal.arun_3d3d(p, q, w)
+        use = ok_r & (jnp.sum(best_inl) >= 3)
+        R_b = jnp.where(use, R_r, R_b)
+        t_b = jnp.where(use, t_r, t_b)
+        resid_b = q - (jnp.einsum("ij,kj->ki", R_b, p) + t_b)
+        best_inl = (jnp.sum(resid_b * resid_b, axis=-1) < threshold * threshold) & valid
+    n_inl = jnp.sum(best_inl)
+    return {
+        "R": R_b,
+        "t": t_b,
+        "inliers": best_inl,
+        "n_inliers": n_inl.astype(jnp.int32),
+        "ok": (counts[best] >= min_inliers),
+    }
+
+
+def ransac_translation_known_rotation(
+    key,
+    p: jnp.ndarray,
+    q: jnp.ndarray,
+    R_known: jnp.ndarray,
+    valid: jnp.ndarray,
+    threshold: float = 0.3,
+    n_hyp: int = 200,
+    min_inliers: int = 5,
+):
+    """1-point 3d3d RANSAC with known rotation (reference:
+    `ransac_use_1point_3d3d: 1`, rotation from IMU/odometry;
+    drawio:1787-1846). Hypothesis: t = q_i - R p_i."""
+    idx = _masked_sample(key, valid, n_hyp, 1)[:, 0]  # (H,)
+    Rp = jnp.einsum("ij,kj->ki", R_known, p)  # (K, 3)
+    t_h = q[idx] - Rp[idx]  # (H, 3)
+    resid = q[None, :, :] - (Rp[None, :, :] + t_h[:, None, :])
+    d2 = jnp.sum(resid * resid, axis=-1)
+    inl = (d2 < threshold * threshold) & valid[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    best_inl = inl[best]
+    # refine: mean translation over consensus
+    w = best_inl.astype(p.dtype)[:, None]
+    t_b = jnp.sum((q - Rp) * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    resid_b = q - (Rp + t_b)
+    best_inl = (jnp.sum(resid_b * resid_b, axis=-1) < threshold * threshold) & valid
+    return {
+        "R": R_known,
+        "t": t_b,
+        "inliers": best_inl,
+        "n_inliers": jnp.sum(best_inl).astype(jnp.int32),
+        "ok": counts[best] >= min_inliers,
+    }
+
+
+def ransac_essential(
+    key,
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    valid: jnp.ndarray,
+    threshold: float = 1e-6,
+    n_hyp: int = 500,
+    min_inliers: int = 10,
+    k_sample: int = 8,
+):
+    """2d2d monocular RANSAC: essential matrix from bearing vectors.
+
+    Role of the reference's `geometricVerificationNister` (mono RANSAC,
+    >= 10 inliers gate, drawio:2589-2593). v1 uses the 8-point minimal
+    solver (see kernels/minimal.py docstring for the 5-pt parity note).
+    threshold: squared Sampson error (`ransac_threshold_2d2d: 1e-06`).
+    """
+    idx = _masked_sample(key, valid, n_hyp, k_sample)
+    E_h, ok_h = minimal.essential_8pt(f1[idx], f2[idx])  # (H, 3, 3)
+    err = minimal.sampson_error(E_h, f1[None], f2[None].astype(f1.dtype))  # (H, K)
+    inl = (err < threshold) & valid[None, :]
+    counts = jnp.sum(inl, axis=1) * ok_h
+    best = jnp.argmax(counts)
+    best_inl = inl[best]
+    # refine on consensus set (weighted 8-pt)
+    E_r, ok_r = minimal.essential_8pt(f1, f2, best_inl.astype(f1.dtype))
+    use = ok_r & (jnp.sum(best_inl) >= k_sample)
+    E_b = jnp.where(use, E_r, E_h[best])
+    err_b = minimal.sampson_error(E_b, f1, f2)
+    best_inl = (err_b < threshold) & valid
+    return {
+        "E": E_b,
+        "inliers": best_inl,
+        "n_inliers": jnp.sum(best_inl).astype(jnp.int32),
+        "ok": counts[best] >= min_inliers,
+    }

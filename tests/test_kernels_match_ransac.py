@@ -1,0 +1,179 @@
+"""Hamming matching, BoW scoring, and batched RANSAC vs oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kimera_multi_tpu.core import lie, rng as rngmod
+from kimera_multi_tpu.kernels import bow, hamming, ransac
+
+
+def _rand_desc(rng, n):
+    return rng.integers(0, 256, size=(n, 32), dtype=np.uint8)
+
+
+def test_hamming_matrix_oracle():
+    rng = np.random.default_rng(0)
+    a, b = _rand_desc(rng, 64), _rand_desc(rng, 48)
+    D = np.asarray(hamming.hamming_matrix(jnp.asarray(a), jnp.asarray(b)))
+    # numpy oracle
+    abits = np.unpackbits(a, axis=1, bitorder="little")
+    bbits = np.unpackbits(b, axis=1, bitorder="little")
+    ref = (abits[:, None, :] != bbits[None, :, :]).sum(-1)
+    assert np.array_equal(D, ref)
+
+
+def test_knn2_lowe_oracle():
+    rng = np.random.default_rng(1)
+    t = _rand_desc(rng, 100)
+    # queries: copies of targets with few flipped bits -> should match
+    q = t[:20].copy()
+    q[:, 0] ^= 1  # flip one bit
+    valid_q = np.ones(20, bool)
+    valid_t = np.ones(100, bool)
+    valid_t[5] = False
+    m, d = hamming.knn2_lowe_match(
+        jnp.asarray(q), jnp.asarray(valid_q), jnp.asarray(t), jnp.asarray(valid_t)
+    )
+    m, d = np.asarray(m), np.asarray(d)
+    for i in range(20):
+        if i == 5:
+            assert m[i] != 5  # masked target never matched
+        elif m[i] >= 0:
+            assert m[i] == i
+            assert d[i] == 1
+    # most should pass lowe (random 256-bit second neighbors are far)
+    assert (m >= 0).sum() >= 18
+
+
+def test_bow_l1_score_oracle():
+    rng = np.random.default_rng(2)
+    W = 32
+    def mk(n_words):
+        ids = rng.choice(1000, size=n_words, replace=False).astype(np.int32)
+        w = rng.uniform(0.1, 1.0, n_words).astype(np.float32)
+        ids_p = np.full(W, -1, np.int32)
+        w_p = np.zeros(W, np.float32)
+        ids_p[:n_words] = ids
+        w_p[:n_words] = w / w.sum()
+        return ids_p, w_p
+    q_ids, q_w = mk(20)
+    N = 16
+    db_ids = np.stack([mk(rng.integers(5, 30))[0] for _ in range(N)])
+    db_w = np.zeros((N, W), np.float32)
+    for i in range(N):
+        n = (db_ids[i] >= 0).sum()
+        w = rng.uniform(0.1, 1.0, n).astype(np.float32)
+        db_w[i, :n] = w / w.sum()
+    # make entry 3 identical to query -> score 1
+    db_ids[3], db_w[3] = q_ids, q_w
+    qs_ids, qs_w = bow.sort_bow(jnp.asarray(q_ids), jnp.asarray(q_w))
+    scores = np.asarray(
+        bow.l1_scores(qs_ids, qs_w, jnp.asarray(db_ids), jnp.asarray(db_w),
+                      jnp.ones(N, bool))
+    )
+    # numpy oracle
+    for i in range(N):
+        s = 0.0
+        qmap = {int(a): float(b) for a, b in zip(q_ids, q_w) if a >= 0}
+        for a, b in zip(db_ids[i], db_w[i]):
+            if int(a) >= 0 and int(a) in qmap:
+                s += min(qmap[int(a)], float(b))
+        assert abs(scores[i] - s) < 1e-5, i
+    assert abs(scores[3] - 1.0) < 1e-5
+
+
+def test_ransac_arun_outliers():
+    rng = np.random.default_rng(3)
+    K = 128
+    w_gt = np.array([0.3, -0.2, 0.5], np.float32)
+    R_gt = np.asarray(lie.so3_exp(jnp.asarray(w_gt)))
+    t_gt = np.array([1.0, -2.0, 0.5], np.float32)
+    p = rng.uniform(-5, 5, size=(K, 3)).astype(np.float32)
+    q = np.einsum("ij,kj->ki", R_gt, p) + t_gt
+    q += rng.normal(size=(K, 3)).astype(np.float32) * 0.01
+    n_out = 40
+    out_idx = rng.choice(K, n_out, replace=False)
+    q[out_idx] += rng.uniform(2, 10, size=(n_out, 3)).astype(np.float32)
+    valid = np.ones(K, bool)
+    valid[-8:] = False  # padding
+    key = rngmod.derive(rngmod.base_key(0), 1, 2, rngmod.Stream.RANSAC_STEREO)
+    out = jax.jit(ransac.ransac_arun)(
+        key, jnp.asarray(p), jnp.asarray(q), jnp.asarray(valid)
+    )
+    assert bool(out["ok"])
+    # all true inliers (valid, non-outlier) recovered
+    true_inl = valid.copy()
+    true_inl[out_idx] = False
+    got = np.asarray(out["inliers"])
+    assert (got & ~true_inl).sum() == 0 or (got & ~true_inl).sum() <= 2
+    assert got[true_inl].mean() > 0.95
+    assert np.allclose(np.asarray(out["R"]), R_gt, atol=0.02)
+    assert np.allclose(np.asarray(out["t"]), t_gt, atol=0.05)
+    # determinism
+    out2 = jax.jit(ransac.ransac_arun)(
+        key, jnp.asarray(p), jnp.asarray(q), jnp.asarray(valid)
+    )
+    assert np.array_equal(got, np.asarray(out2["inliers"]))
+
+
+def test_ransac_essential_outliers():
+    rng = np.random.default_rng(4)
+    K = 96
+    w_gt = np.array([0.1, 0.05, -0.2], np.float32)
+    R = np.asarray(lie.so3_exp(jnp.asarray(w_gt)))
+    t = np.array([0.5, 0.1, 0.2], np.float32)
+    P = rng.uniform(-2, 2, size=(K, 3)).astype(np.float32)
+    P[:, 2] += 5.0
+    f1 = P / np.linalg.norm(P, axis=1, keepdims=True)
+    P2 = np.einsum("ij,kj->ki", R, P) + t
+    f2 = P2 / np.linalg.norm(P2, axis=1, keepdims=True)
+    n_out = 30
+    out_idx = rng.choice(K, n_out, replace=False)
+    g = rng.normal(size=(n_out, 3)).astype(np.float32)
+    f2[out_idx] = g / np.linalg.norm(g, axis=1, keepdims=True)
+    valid = np.ones(K, bool)
+    key = rngmod.derive(rngmod.base_key(0), 0, 7, rngmod.Stream.RANSAC_MONO)
+    out = jax.jit(ransac.ransac_essential)(
+        key, jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(valid)
+    )
+    assert bool(out["ok"])
+    true_inl = np.ones(K, bool)
+    true_inl[out_idx] = False
+    got = np.asarray(out["inliers"])
+    assert got[true_inl].mean() > 0.9
+    assert got[~true_inl].mean() < 0.1
+
+
+def test_ransac_translation_known_rotation():
+    rng = np.random.default_rng(5)
+    K = 64
+    R = np.asarray(lie.so3_exp(jnp.asarray(np.array([0.0, 0.3, 0.1], np.float32))))
+    t_gt = np.array([0.5, 1.0, -0.7], np.float32)
+    p = rng.uniform(-3, 3, (K, 3)).astype(np.float32)
+    q = np.einsum("ij,kj->ki", R, p) + t_gt
+    q[:20] += 5.0  # outliers
+    key = rngmod.base_key(11)
+    out = ransac.ransac_translation_known_rotation(
+        key, jnp.asarray(p), jnp.asarray(q), jnp.asarray(R), jnp.ones(K, bool)
+    )
+    assert bool(out["ok"])
+    assert np.allclose(np.asarray(out["t"]), t_gt, atol=1e-3)
+    assert int(out["n_inliers"]) == K - 20
+
+
+def test_hamming_top2_pallas_matches_xla():
+    rng = np.random.default_rng(6)
+    q = _rand_desc(rng, 128)
+    t = _rand_desc(rng, 512)
+    bits_q = hamming.unpack_bits(jnp.asarray(q)).astype(jnp.bfloat16)
+    bits_t = hamming.unpack_bits(jnp.asarray(t)).astype(jnp.bfloat16)
+    d1, d2, i1 = hamming.hamming_top2_pallas(bits_q, bits_t, tile_q=64, tile_t=256)
+    D = np.asarray(hamming.hamming_matrix(jnp.asarray(q), jnp.asarray(t)))
+    ref_i1 = D.argmin(1)
+    ref_d1 = D.min(1)
+    Ds = np.sort(D, axis=1)
+    assert np.array_equal(np.asarray(d1).astype(int), ref_d1)
+    assert np.array_equal(np.asarray(d2).astype(int), Ds[:, 1])
+    # index can differ on ties; check distance at claimed index
+    assert np.array_equal(D[np.arange(128), np.asarray(i1)], ref_d1)
