@@ -53,11 +53,14 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues formula: (..., 3) axis-angle -> (..., 3, 3) rotation."""
     _check_last(w, (3,), "so3_exp")
     theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]  # (...,1,1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    # _safe denominators: the UNselected where-branch is still differentiated,
+    # and 0/0 there turns into NaN * 0 = NaN in the VJP.
+    theta2s = jnp.maximum(theta2, _EPS)  # floor 1e-8: keeps den**2 in the quotient-rule VJP from underflowing f32
+    theta = jnp.sqrt(theta2s)
     small = theta2 < _EPS
     # sin(t)/t and (1-cos(t))/t^2 with Taylor fallbacks
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2s)
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a * W + b * (W @ W)
@@ -74,7 +77,9 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     w_skew = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
     # atan2 formulation: well-conditioned at both 0 and pi (arccos is not).
-    sin_t = jnp.linalg.norm(w_skew, axis=-1)
+    # eps inside the sqrt keeps the VJP finite at theta = 0 (norm is not
+    # differentiable at zero; the NaN would leak through jnp.where).
+    sin_t = jnp.sqrt(jnp.sum(w_skew * w_skew, axis=-1) + 1e-24)
     theta = jnp.arctan2(sin_t, cos_t)  # (...,)
     small = theta < 1e-4
     near_pi = theta > jnp.pi - 1e-3
@@ -96,13 +101,13 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     one_minus_c = jnp.maximum(1.0 - cos_t, _EPS)[..., None, None]
     aaT = ((R + jnp.swapaxes(R, -1, -2)) * 0.5 - cos_t[..., None, None] * eye3) / one_minus_c
     diag = jnp.stack([aaT[..., 0, 0], aaT[..., 1, 1], aaT[..., 2, 2]], axis=-1)
-    axis_abs = jnp.sqrt(jnp.maximum(diag, 0.0))
+    axis_abs = jnp.sqrt(jnp.maximum(diag, 1e-12))  # eps: finite VJP off-branch
     # Column k of aa^T is a * a_k; pick the largest-|a_k| column.
     k = jnp.argmax(axis_abs, axis=-1)
     Bk = jnp.take_along_axis(aaT, k[..., None, None].repeat(3, axis=-2), axis=-1)[..., 0]
     denom = jnp.take_along_axis(axis_abs, k[..., None], axis=-1)
     axis = Bk / jnp.maximum(denom, _EPS)
-    norm = jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.sum(axis * axis, axis=-1, keepdims=True) + 1e-24)
     axis = axis / jnp.maximum(norm, _EPS)
     # Sign of the axis is aligned with w_skew where it is nonzero.
     sign = jnp.where(jnp.sum(axis * w_skew, axis=-1, keepdims=True) < 0.0, -1.0, 1.0)
@@ -209,12 +214,13 @@ def se3_exp(xi: jnp.ndarray):
     v = xi[..., 3:]
     R = so3_exp(w)
     theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    theta2s = jnp.maximum(theta2, _EPS)  # floor 1e-8: keeps den**2 in the quotient-rule VJP from underflowing f32
+    theta = jnp.sqrt(theta2s)
     small = theta2 < _EPS
     W = hat(w)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2s)
     c = jnp.where(
-        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta)
+        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2s * theta)
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), R.shape)
     V = eye + b * W + c * (W @ W)
@@ -226,7 +232,8 @@ def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Inverse of se3_exp: returns (..., 6) = (w, v)."""
     w = so3_log(R)
     theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    theta2s = jnp.maximum(theta2, _EPS)  # floor 1e-8: keeps den**2 in the quotient-rule VJP from underflowing f32
+    theta = jnp.sqrt(theta2s)
     small = theta2 < _EPS
     W = hat(w)
     # V^{-1} = I - W/2 + (1/theta^2)(1 - theta sin / (2(1-cos))) W^2
@@ -234,7 +241,7 @@ def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     cot_term = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - half_t * jnp.cos(half_t) / jnp.maximum(jnp.sin(half_t), _EPS)) / theta2,
+        (1.0 - half_t * jnp.cos(half_t) / jnp.maximum(jnp.sin(half_t), _EPS)) / theta2s,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
     Vinv = eye - 0.5 * W + cot_term * (W @ W)
