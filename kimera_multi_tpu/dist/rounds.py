@@ -1,0 +1,159 @@
+"""Bulk-synchronous distributed RBCD rounds under shard_map.
+
+The deterministic replacement for dpgo_ros's leader-coordinated command
+state machine (SURVEY.md section 3.3): REQUEST_POSE_GRAPH becomes array
+construction, INITIALIZE becomes lifting + anchoring, UPDATE commands
+become pjit-ed rounds, UPDATE_WEIGHT becomes a replicated GNC step, and
+TERMINATE becomes rounding + log writing. Status/ack traffic vanishes
+inside a pod (ICI is reliable); the active-robot mask (dist/fault.py)
+covers SET_ACTIVE_ROBOTS/RECOVER semantics.
+
+Collective schedule per round (all over the robot mesh axis):
+  1. all_gather lifted blocks (separator exchange, drawio:2340-2355)
+  2. local Riemannian block update (drawio:2513)
+  3. [every `weight_update_every` rounds] replicated GNC-TLS weight
+     recompute from gathered state (drawio:2175-2215)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.containers import EDGE_ODOMETRY, GncState, PoseGraphEdges
+from ..solve import gnc, rbcd
+from .mesh import ROBOT_AXIS, SHARD_AXIS
+
+
+class RoundState(NamedTuple):
+    Y: jnp.ndarray  # (R, N, r, d+1) robot-sharded
+    active: jnp.ndarray  # (R,) bool
+    gnc_state: GncState
+    round_idx: jnp.ndarray  # () int32
+
+
+def make_round_fn(
+    mesh,
+    edges: PoseGraphEdges,
+    poses_per_robot: int,
+    cfg: rbcd.RbcdConfig,
+    weight_update_every: int = 3,
+    mu_factor: float = 1.4,
+):
+    """Builds a jitted function advancing one bulk-synchronous round.
+
+    The returned fn has identical semantics to
+    `solve.rbcd.rbcd_round_reference` + periodic GNC updates — asserted by
+    tests on a virtual CPU mesh.
+    """
+    pspec_Y = P(ROBOT_AXIS)
+    pspec_act = P(ROBOT_AXIS)
+    rep = P()
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec_Y, pspec_act, rep, rep),
+        out_specs=(pspec_Y, rep),
+        # cost is computed identically on every shard from all-gathered
+        # state; the vma checker cannot prove that, so we assert it
+        check_vma=False,
+    )
+    def _round(Y_local, active_local, weights, round_idx):
+        # Y_local: (R/shards, N, r, d+1); with one robot per shard: (1, ...)
+        robot0 = jax.lax.axis_index(ROBOT_AXIS) * Y_local.shape[0]
+        n_local = Y_local.shape[0]
+
+        def cycle(_, Yl):
+            # separator exchange (drawio:2340-2355): gather all blocks
+            Y_all = jax.lax.all_gather(Yl, ROBOT_AXIS, axis=0, tiled=True)
+            act_all = jax.lax.all_gather(active_local, ROBOT_AXIS, axis=0,
+                                         tiled=True)
+
+            def one(i, deltas):
+                robot = robot0 + i
+                d = rbcd.block_direction(
+                    Yl[i], Y_all, robot, edges, weights, cfg
+                )
+                d = jnp.where(act_all[robot], d, 0.0)
+                return deltas.at[i].set(d)
+
+            deltas_local = jax.lax.fori_loop(
+                0, n_local, one, jnp.zeros_like(Yl)
+            )
+            # gather proposals, run the replicated global line search, and
+            # keep only this shard's slice (bit-identical on every shard)
+            deltas_all = jax.lax.all_gather(
+                deltas_local, ROBOT_AXIS, axis=0, tiled=True
+            )
+            Y_next_all = rbcd._global_step(
+                Y_all, deltas_all, edges, weights, poses_per_robot, cfg
+            )
+            return jax.lax.dynamic_slice_in_dim(
+                Y_next_all, robot0, n_local, axis=0
+            )
+
+        Y_new = jax.lax.fori_loop(0, cfg.inner_iters, cycle, Y_local)
+        # replicated cost for logging (cheap; fully deterministic)
+        Y_full = jax.lax.all_gather(Y_new, ROBOT_AXIS, axis=0, tiled=True)
+        cost = rbcd.lifted_cost(
+            Y_full.reshape(-1, *Y_full.shape[2:]), edges, weights,
+            poses_per_robot,
+        )
+        return Y_new, cost
+
+    @jax.jit
+    def round_fn(state: RoundState):
+        weights = state.gnc_state.weights
+        Y_new, cost = _round(state.Y, state.active, weights, state.round_idx)
+        # GNC weight round (replicated compute — every device derives the
+        # same weights from the same gathered state; no psum needed beyond
+        # the gather already done)
+        do_update = (state.round_idx + 1) % weight_update_every == 0
+        sq = rbcd.lifted_edge_sq_errors(
+            Y_new.reshape(-1, *Y_new.shape[2:]), edges, poses_per_robot
+        )
+        updated = gnc.gnc_update_weights(
+            state.gnc_state, sq, edges.etype, edges.valid, mu_factor=mu_factor
+        )
+        new_gnc = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(do_update, a, b), updated, state.gnc_state
+        )
+        return RoundState(
+            Y=Y_new,
+            active=state.active,
+            gnc_state=new_gnc,
+            round_idx=state.round_idx + 1,
+        ), cost
+
+    return round_fn
+
+
+def init_state(
+    mesh,
+    Y0: jnp.ndarray,
+    active: jnp.ndarray,
+    edges: PoseGraphEdges,
+    poses_per_robot: int,
+    gnc_alpha: float = 0.9,
+) -> RoundState:
+    """INITIALIZE: place sharded Y on the mesh, seed GNC from current
+    residuals (reference: INITIALIZE command + first weights, drawio:2221)."""
+    barc2 = gnc.barc2_from_quantile(gnc_alpha, dof=6)
+    sq = rbcd.lifted_edge_sq_errors(
+        Y0.reshape(-1, *Y0.shape[2:]), edges, poses_per_robot
+    )
+    g0 = gnc.gnc_init(sq, edges.etype, edges.valid, barc2)
+    Y_sharded = jax.device_put(Y0, NamedSharding(mesh, P(ROBOT_AXIS)))
+    act = jax.device_put(active, NamedSharding(mesh, P(ROBOT_AXIS)))
+    return RoundState(
+        Y=Y_sharded,
+        active=act,
+        gnc_state=g0,
+        round_idx=jnp.asarray(0, jnp.int32),
+    )

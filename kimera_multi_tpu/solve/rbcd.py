@@ -1,0 +1,252 @@
+"""Rank-lifted Riemannian block-coordinate descent — the dpgo core.
+
+TPU-native redesign of dpgo's `PGOAgent::iterate()` (SURVEY.md section 2.1
+`dpgo` row; images/kimera-multi.drawio:2460-2520): pose blocks are lifted to
+St(d, r) x R^r (Riemannian staircase rank r > d smooths away the local
+minima of SE(d) optimization), and each robot updates its own block with
+neighbors fixed.
+
+Differences from the reference, by design (SURVEY.md section 7.4):
+  * parallel (Jacobi-style) RBCD: all robot blocks update simultaneously
+    against last-round neighbor poses, instead of dpgo's leader-designated
+    round-robin (`drawio:2364,2478-2481`). The synchronous schedule is the
+    TPU-native replacement for the ROS command state machine; dpgo's own
+    `runOnceSynchronous` (drawio:2071) licenses the semantics.
+  * block updates are preconditioned Riemannian gradient descent with a
+    backtracking step ladder (fixed trials, masked argmin) instead of
+    ROPTLIB's Riemannian trust region — fixed-shape, branchless.
+  * GNC-TLS weights (solve/gnc.py) update on shared edges exactly like the
+    reference's UPDATE_WEIGHT rounds (drawio:2175-2215).
+
+The same functions run single-device (vmap over the robot axis) and
+sharded (dist/rounds.py wraps them in shard_map; robots = mesh axis).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import stiefel
+from ..core.containers import PoseGraphEdges
+from .pgo import PgoParams
+
+_EPS = 1e-12
+
+
+class RbcdConfig(NamedTuple):
+    rank: int = 5  # staircase rank r (> d = 3)
+    inner_iters: int = 3  # (direction -> global step) cycles per round
+    cg_iters: int = 25  # CG iterations for the block Newton solve
+    step_trials: int = 8  # backtracking ladder size
+    step_init: float = 1.0
+
+
+def lift_params(
+    params: PgoParams, ylift: jnp.ndarray, n_robots: int, poses_per_robot: int
+) -> jnp.ndarray:
+    """SE(3) params -> lifted blocks Y (R, N, r, d+1) via the shared
+    lifting matrix (reference: leader broadcasts YLift, drawio:2313-2322)."""
+    Y = stiefel.lift_poses(params.R, params.t, ylift)
+    r, dp1 = ylift.shape[0], 4
+    return Y.reshape(n_robots, poses_per_robot, r, dp1)
+
+
+def lifted_cost(
+    Y_flat: jnp.ndarray,  # (N_total, r, d+1)
+    edges: PoseGraphEdges,
+    edge_weights: jnp.ndarray,
+    poses_per_robot: int,
+) -> jnp.ndarray:
+    """f(Y) = sum_e w_e [kappa ||YR_j - YR_i R_ij||^2
+                         + tau ||yt_j - yt_i - YR_i t_ij||^2]."""
+    src, dst = edges.global_ids(poses_per_robot)
+    Yi, Yj = Y_flat[src], Y_flat[dst]
+    YRi, yti = Yi[..., :3], Yi[..., 3]
+    YRj, ytj = Yj[..., :3], Yj[..., 3]
+    w = jnp.where(edges.valid, edge_weights, 0.0)
+    r_rot = YRj - jnp.einsum("erd,edf->erf", YRi, edges.R)
+    r_tr = ytj - yti - jnp.einsum("erd,ed->er", YRi, edges.t)
+    c_rot = jnp.sum(r_rot * r_rot, axis=(-1, -2)) * edges.kappa
+    c_tr = jnp.sum(r_tr * r_tr, axis=-1) * edges.tau
+    return jnp.sum(w * (c_rot + c_tr))
+
+
+def lifted_edge_sq_errors(
+    Y_flat: jnp.ndarray, edges: PoseGraphEdges, poses_per_robot: int
+) -> jnp.ndarray:
+    """Per-edge whitened squared error in the lifted space (GNC r^2).
+
+    Comparable to barc2 thresholds since at rank d the lifted residual
+    equals the chordal SE(3) residual."""
+    src, dst = edges.global_ids(poses_per_robot)
+    Yi, Yj = Y_flat[src], Y_flat[dst]
+    YRi, yti = Yi[..., :3], Yi[..., 3]
+    YRj, ytj = Yj[..., :3], Yj[..., 3]
+    r_rot = YRj - jnp.einsum("erd,edf->erf", YRi, edges.R)
+    r_tr = ytj - yti - jnp.einsum("erd,ed->er", YRi, edges.t)
+    return (
+        jnp.sum(r_rot * r_rot, axis=(-1, -2)) * edges.kappa
+        + jnp.sum(r_tr * r_tr, axis=-1) * edges.tau
+    )
+
+
+def _block_cost(
+    Y_own: jnp.ndarray,  # (N, r, d+1) this robot's block
+    Y_all: jnp.ndarray,  # (R, N, r, d+1) all blocks (last round)
+    robot: jnp.ndarray,  # scalar int
+    edges: PoseGraphEdges,
+    edge_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Cost restricted to edges touching `robot`, with this robot's block
+    taken from Y_own and all others from Y_all (detached)."""
+    n_robots, N = Y_all.shape[0], Y_all.shape[1]
+    Y_fixed = jax.lax.stop_gradient(Y_all)
+
+    def pick(rob, idx):
+        base = Y_fixed[rob, idx]
+        mine = Y_own[idx]
+        return jnp.where((rob == robot)[..., None, None], mine, base)
+
+    Yi = pick(edges.src_robot, edges.src_pose)
+    Yj = pick(edges.dst_robot, edges.dst_pose)
+    touches = (edges.src_robot == robot) | (edges.dst_robot == robot)
+    w = jnp.where(edges.valid & touches, edge_weights, 0.0)
+    YRi, yti = Yi[..., :3], Yi[..., 3]
+    YRj, ytj = Yj[..., :3], Yj[..., 3]
+    r_rot = YRj - jnp.einsum("erd,edf->erf", YRi, edges.R)
+    r_tr = ytj - yti - jnp.einsum("erd,ed->er", YRi, edges.t)
+    c = jnp.sum(r_rot * r_rot, axis=(-1, -2)) * edges.kappa + jnp.sum(
+        r_tr * r_tr, axis=-1
+    ) * edges.tau
+    return jnp.sum(w * c)
+
+
+def block_direction(
+    Y_own: jnp.ndarray,
+    Y_all: jnp.ndarray,
+    robot: jnp.ndarray,
+    edges: PoseGraphEdges,
+    edge_weights: jnp.ndarray,
+    cfg: RbcdConfig,
+) -> jnp.ndarray:
+    """Newton direction for one robot's block (role of dpgo's ROPTLIB inner
+    solve per UPDATE command, drawio:2010,2513).
+
+    The lifted cost is exactly quadratic in a single block (the manifold
+    constraint is the only nonlinearity), so the unconstrained block Newton
+    system is solved matrix-free with CG (Hessian-vector products via
+    forward-over-reverse autodiff) — no ROPTLIB, no cached data matrices
+    (cf. `clearDataMatrices`, drawio:2268 — there is nothing to
+    invalidate)."""
+    cost_fn = lambda Y: _block_cost(Y, Y_all, robot, edges, edge_weights)
+    g = jax.grad(cost_fn)(Y_own)
+    grad_fn = jax.grad(cost_fn)
+
+    def hvp(v):
+        return jax.jvp(grad_fn, (Y_own,), (v,))[1] + 1e-6 * v
+
+    def cg_body(_, st):
+        x, r, p, rs = st
+        Ap = hvp(p)
+        alpha = rs / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs2 = jnp.sum(r * r)
+        p = r + (rs2 / jnp.maximum(rs, 1e-20)) * p
+        return x, r, p, rs2
+
+    b = -g
+    delta, *_ = jax.lax.fori_loop(
+        0, cfg.cg_iters, cg_body, (jnp.zeros_like(b), b, b, jnp.sum(b * b))
+    )
+    return delta
+
+
+def _global_step(
+    Y: jnp.ndarray,  # (R, N, r, d+1)
+    deltas: jnp.ndarray,  # (R, N, r, d+1) proposed block directions
+    edges: PoseGraphEdges,
+    edge_weights: jnp.ndarray,
+    poses_per_robot: int,
+    cfg: RbcdConfig,
+) -> jnp.ndarray:
+    """Accept the best point on the combined-direction chord: a single
+    global backtracking line search over a fixed step ladder, evaluated on
+    the TOTAL cost. This is what makes parallel (Jacobi) block updates
+    convergent: simultaneous full block steps overshoot on shared edges
+    (both endpoints move), but the combined direction is still a descent
+    direction, so a damped global step always exists. The search is
+    replicated bit-identically on every shard — no coordination needed."""
+    d = 3
+    steps = cfg.step_init * (0.5 ** jnp.arange(cfg.step_trials))
+
+    def total_cost(Yc):
+        return lifted_cost(
+            Yc.reshape(-1, Yc.shape[2], Yc.shape[3]), edges, edge_weights,
+            poses_per_robot,
+        )
+
+    c0 = total_cost(Y)
+
+    def try_step(s):
+        Yc = stiefel.lifted_retract(Y, s * deltas, d)
+        return total_cost(Yc)
+
+    costs = jax.vmap(try_step)(steps)
+    best = jnp.argmin(costs)
+    improved = costs[best] < c0
+    Y_new = stiefel.lifted_retract(Y, steps[best] * deltas, d)
+    take = improved.astype(Y.dtype)
+    return take * Y_new + (1.0 - take) * Y
+
+
+def rbcd_round_reference(
+    Y: jnp.ndarray,  # (R, N, r, d+1)
+    active: jnp.ndarray,  # (R,) bool
+    edges: PoseGraphEdges,
+    edge_weights: jnp.ndarray,
+    cfg: RbcdConfig,
+    poses_per_robot: int | None = None,
+) -> jnp.ndarray:
+    """Single-device reference semantics: `inner_iters` cycles of
+    (parallel block Newton directions) -> (global damped step). The
+    sharded path (dist/rounds.py) must match this exactly."""
+    ppr = poses_per_robot if poses_per_robot is not None else Y.shape[1]
+    robots = jnp.arange(Y.shape[0])
+
+    def cycle(_, Yc):
+        def one(robot):
+            return block_direction(Yc[robot], Yc, robot, edges, edge_weights,
+                                   cfg)
+
+        deltas = jax.vmap(one)(robots)
+        deltas = jnp.where(active[:, None, None, None], deltas, 0.0)
+        return _global_step(Yc, deltas, edges, edge_weights, ppr, cfg)
+
+    return jax.lax.fori_loop(0, cfg.inner_iters, cycle, Y)
+
+
+def solve_rounds(
+    Y0: jnp.ndarray,
+    active: jnp.ndarray,
+    edges: PoseGraphEdges,
+    poses_per_robot: int,
+    cfg: RbcdConfig,
+    n_rounds: int = 30,
+    gnc_weights: jnp.ndarray | None = None,
+):
+    """Fixed-round RBCD driver (single-device). Returns final Y."""
+    w = gnc_weights if gnc_weights is not None else jnp.ones(edges.capacity)
+
+    def body(Y, _):
+        Y = rbcd_round_reference(Y, active, edges, w, cfg, poses_per_robot)
+        return Y, lifted_cost(
+            Y.reshape(-1, *Y.shape[2:]), edges, w, poses_per_robot
+        )
+
+    Y, costs = jax.lax.scan(body, Y0, None, length=n_rounds)
+    return Y, costs
