@@ -1,0 +1,251 @@
+"""Bag-of-Words vocabulary: hierarchical binary tree as level-wise tensors.
+
+Role of DBoW2's `TemplatedVocabulary` over ORB descriptors (reference
+`dbow2_catkin`, SURVEY.md section 2.1; vocab file `mit_voc.yml`,
+launch/kimera_vio_jackal.launch:68).
+
+TPU-native layout: level l stores all k^(l+1) candidate centroids as one
+(k^(l+1), 32) uint8 tensor; descriptor-to-word assignment walks the tree
+with one batched Hamming argmin per level (log_k(W) steps, each a bit-
+matmul against k candidates) — no pointer chasing. tf-idf weights follow
+DBoW2 (TF_IDF weighting, L1 norm).
+
+Includes:
+  * `build_vocabulary` — deterministic hierarchical binary k-means
+    (majority-bit centroids, threefry seeding) to train vocabularies from
+    descriptor corpora when the reference vocab file is unavailable;
+  * `load_dbow2_yml` — parser for the DBoW2 OpenCV-YAML vocabulary format
+    so `mit_voc.yml` (k=10, L=5 style) drops in unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels.hamming import hamming_matrix, unpack_bits
+
+
+class Vocabulary(NamedTuple):
+    k: int  # branching factor
+    depth: int  # number of levels
+    centroids: tuple  # per level: (k^(l+1), 32) uint8
+    word_weights: jnp.ndarray  # (k^depth,) float32 idf weights
+    node_valid: tuple  # per level: (k^(l+1),) bool — tree may be ragged
+
+    @property
+    def n_words(self) -> int:
+        return self.k ** self.depth
+
+
+def transform(vocab: Vocabulary, descriptors: jnp.ndarray,
+              valid: jnp.ndarray):
+    """Assign each descriptor to a word id: (K, 32) uint8 -> (K,) int32.
+
+    One Hamming argmin against k children per level; invalid tree branches
+    are masked to distance 257.
+    """
+    K = descriptors.shape[0]
+    node = jnp.zeros((K,), jnp.int32)
+    k = vocab.k
+    for lvl in range(vocab.depth):
+        cents = vocab.centroids[lvl]  # (k^(lvl+1), 32)
+        nvalid = vocab.node_valid[lvl]
+        # children of `node` are node*k .. node*k+k-1
+        child0 = node * k
+        idx = child0[:, None] + jnp.arange(k)[None, :]  # (K, k)
+        cand = cents[idx]  # (K, k, 32)
+        d = _hamming_rows(descriptors, cand)  # (K, k)
+        d = jnp.where(nvalid[idx], d, 257)
+        node = child0 + jnp.argmin(d, axis=-1).astype(jnp.int32)
+    word = jnp.where(valid, node, -1)
+    return word
+
+
+def _hamming_rows(desc: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
+    """desc (K, 32) vs cand (K, k, 32) -> (K, k) int32."""
+    a = unpack_bits(desc).astype(jnp.int32)  # (K, 256)
+    b = unpack_bits(cand).astype(jnp.int32)  # (K, k, 256)
+    return jnp.sum(jnp.abs(a[:, None, :] - b), axis=-1)
+
+
+def bow_from_words(word_ids: jnp.ndarray, word_weights: jnp.ndarray,
+                   capacity: int):
+    """Aggregate per-descriptor word assignments into a padded sparse BoW
+    vector: unique word ids (-1 padded) + tf-idf weights, L1-normalized
+    (DBoW2 TF_IDF + L1 norm).
+
+    Returns (ids (capacity,), weights (capacity,)).
+    """
+    K = word_ids.shape[0]
+    big = jnp.int32(2**30)
+    ids = jnp.where(word_ids >= 0, word_ids, big)
+    s = jnp.sort(ids)
+    # unique segments over the sorted ids (padding collapses into one
+    # trailing `big` segment with zero count)
+    new_seg = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    seg_id = jnp.cumsum(new_seg) - 1  # (K,)
+    counts = jnp.zeros((K,), jnp.float32).at[seg_id].add(
+        jnp.where(s < big, 1.0, 0.0))
+    arange = jnp.arange(K, dtype=jnp.int32)
+    seg_start = jnp.full((K,), K - 1, jnp.int32).at[seg_id].min(arange)
+    seg_word = s[jnp.clip(seg_start, 0, K - 1)]
+    idf = word_weights[jnp.clip(seg_word, 0, word_weights.shape[0] - 1)]
+    w = counts * jnp.where(seg_word < big, idf, 0.0)
+    # first `capacity` segments (sorted by word id); count overflow instead
+    # of silently dropping (SURVEY.md section 7.4)
+    n_seg_valid = jnp.sum(
+        jnp.where(jnp.arange(K) <= seg_id[-1], seg_word < big, False)
+    ).astype(jnp.int32)
+    in_range = jnp.arange(capacity) <= seg_id[-1]
+    ids_out = jnp.where(in_range & (seg_word[:capacity] < big),
+                        seg_word[:capacity], -1)
+    w_out = jnp.where(ids_out >= 0, w[:capacity], 0.0)
+    norm = jnp.maximum(jnp.sum(w_out), 1e-12)
+    overflow = jnp.maximum(n_seg_valid - capacity, 0)
+    return ids_out.astype(jnp.int32), w_out / norm, overflow
+
+
+def build_vocabulary(descriptors: np.ndarray, k: int = 8, depth: int = 3,
+                     seed: int = 0, kmeans_iters: int = 8) -> Vocabulary:
+    """Deterministic hierarchical binary k-means (host-side, run once).
+
+    Centroids are majority-bit aggregates (the binary-descriptor analogue
+    of the mean); empty branches are marked invalid. idf weights from the
+    training corpus (DBoW2: idf = log(N / n_word), words seen nowhere get
+    weight 0).
+    """
+    rng = np.random.default_rng(seed)
+    bits = np.unpackbits(descriptors, axis=1, bitorder="little")  # (N, 256)
+    n_nodes = [k ** (l + 1) for l in range(depth)]
+    centroids = [np.zeros((n, 32), np.uint8) for n in n_nodes]
+    node_valid = [np.zeros((n,), bool) for n in n_nodes]
+
+    def kmeans(node_bits, kk):
+        n = node_bits.shape[0]
+        if n == 0:
+            return np.zeros((kk, 256), np.uint8), np.zeros((0,), np.int64), np.zeros(kk, bool)
+        init = node_bits[rng.choice(n, size=min(kk, n), replace=False)]
+        cents = np.zeros((kk, 256), np.uint8)
+        cents[: init.shape[0]] = init
+        alive = np.zeros(kk, bool)
+        alive[: init.shape[0]] = True
+        assign = np.zeros(n, np.int64)
+        for _ in range(kmeans_iters):
+            d = (node_bits[:, None, :] != cents[None, :, :]).sum(-1)
+            d[:, ~alive] = 10**6
+            assign = d.argmin(1)
+            for c in range(kk):
+                m = assign == c
+                if m.sum() > 0:
+                    cents[c] = (node_bits[m].mean(0) > 0.5).astype(np.uint8)
+                    alive[c] = True
+                else:
+                    alive[c] = False
+        return cents, assign, alive
+
+    # level 0
+    frontier = {0: np.arange(bits.shape[0])}
+    for lvl in range(depth):
+        next_frontier = {}
+        for parent, idxs in frontier.items():
+            cents, assign, alive = kmeans(bits[idxs], k)
+            base = parent * k
+            centroids[lvl][base : base + k] = np.packbits(
+                cents.astype(np.uint8), axis=1, bitorder="little")
+            node_valid[lvl][base : base + k] = alive
+            for c in range(k):
+                child_idxs = idxs[assign == c] if len(idxs) else idxs
+                if alive[c]:
+                    next_frontier[base + c] = child_idxs
+        frontier = next_frontier
+
+    # idf weights
+    n_words = k ** depth
+    word_weights = np.zeros(n_words, np.float32)
+    leaf_counts = np.zeros(n_words, np.int64)
+    for leaf, idxs in frontier.items():
+        leaf_counts[leaf] = len(idxs)
+    N = max(bits.shape[0], 1)
+    nz = leaf_counts > 0
+    word_weights[nz] = np.log(N / leaf_counts[nz])
+
+    return Vocabulary(
+        k=k,
+        depth=depth,
+        centroids=tuple(jnp.asarray(c) for c in centroids),
+        word_weights=jnp.asarray(word_weights),
+        node_valid=tuple(jnp.asarray(v) for v in node_valid),
+    )
+
+
+def load_dbow2_yml(path: str) -> Vocabulary:
+    """Parse the DBoW2 OpenCV-YAML vocabulary format (`mit_voc.yml` style):
+
+        vocabulary:
+           k: 10
+           L: 5
+           scoringType: 0   (L1_NORM)
+           weightingType: 0 (TF_IDF)
+           nodes: [ { nodeId, parentId, weight, descriptor "dbw3/dbw2 hex" } ]
+           words: [ { wordId, nodeId } ]
+
+    Rebuilds the level-wise tensor layout. Nodes absent from a level are
+    invalid branches.
+    """
+    import re
+
+    txt = open(path).read()
+    k = int(re.search(r"\bk:\s*(\d+)", txt).group(1))
+    L = int(re.search(r"\bL:\s*(\d+)", txt).group(1))
+    node_re = re.compile(
+        r"nodeId:\s*(\d+).*?parentId:\s*(-?\d+).*?weight:\s*([\d.eE+-]+)"
+        r".*?descriptor:.*?\"?([0-9a-fA-F\s]+)\"?", re.S)
+    # parse nodes block
+    nodes = {}
+    nodes_block = txt.split("nodes:")[1].split("words:")[0]
+    for m in node_re.finditer(nodes_block):
+        nid, pid, w, desc = m.groups()
+        b = bytes(int(x) for x in desc.split()) if " " in desc.strip() else bytes.fromhex(desc.strip())
+        nodes[int(nid)] = (int(pid), float(w), np.frombuffer(b, np.uint8))
+    words_block = txt.split("words:")[1] if "words:" in txt else ""
+    word_re = re.compile(r"wordId:\s*(\d+).*?nodeId:\s*(\d+)", re.S)
+    word_of_node = {int(n): int(w) for w, n in word_re.findall(words_block)}
+
+    # depth-first: compute each node's level and its path index
+    centroids = [np.zeros((k ** (l + 1), 32), np.uint8) for l in range(L)]
+    node_valid = [np.zeros((k ** (l + 1),), bool) for l in range(L)]
+    slot = {0: 0}  # nodeId -> flat index at its level (root=0 virtual)
+    level = {0: -1}
+    child_count: dict[int, int] = {}
+    word_weights = np.zeros(k ** L, np.float32)
+    for nid in sorted(nodes):
+        pid, w, desc = nodes[nid]
+        if pid not in slot:
+            continue  # orphan
+        lvl = level[pid] + 1
+        if lvl >= L:
+            continue
+        c = child_count.get(pid, 0)
+        if c >= k:
+            continue
+        child_count[pid] = c + 1
+        idx = slot[pid] * k + c
+        slot[nid] = idx
+        level[nid] = lvl
+        d = np.zeros(32, np.uint8)
+        d[: min(32, len(desc))] = desc[:32]
+        centroids[lvl][idx] = d
+        node_valid[lvl][idx] = True
+        if lvl == L - 1 and nid in word_of_node:
+            word_weights[idx] = w
+    return Vocabulary(
+        k=k,
+        depth=L,
+        centroids=tuple(jnp.asarray(c) for c in centroids),
+        word_weights=jnp.asarray(word_weights),
+        node_valid=tuple(jnp.asarray(v) for v in node_valid),
+    )
