@@ -1,0 +1,234 @@
+"""End-to-end run entry point (role of the reference's examples/run.sh
+modes, SURVEY.md section 2.2).
+
+Modes:
+  sim          single-process multi-robot simulation: synthetic sensor
+               world -> BoW LCD -> RANSAC verification -> pose graph ->
+               robust distributed PGO -> reference-schema logs + APE.
+               (The analogue of the reference's single-master tmux replay.)
+  sim-sharded  same, but the back-end runs as shard_map rounds on a robot
+               device mesh (set XLA_FLAGS=--xla_force_host_platform_device_count=N
+               JAX_PLATFORMS=cpu for virtual devices).
+
+Outputs under --log-dir follow the reference contract (SURVEY.md section 5):
+  <robot>/distributed/kimera_distributed_poses_tum_<k>.tum
+  <robot>/distributed/loop_closures.csv
+  <robot>/distributed/kimera_distributed_keyframes.csv
+  <robot>/single/output_lcd_status.csv
+  <robot>/distributed/dpgo_log_0.csv
+  ape_<robot>.csv  (the evo_real_time.py equivalent)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="kimera_multi_tpu runner")
+    p.add_argument("--mode", choices=["sim", "sim-sharded"], default="sim")
+    p.add_argument("--robots", type=int, default=2)
+    p.add_argument("--steps", type=int, default=60)
+    p.add_argument("--features", type=int, default=96)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-dir", default="/tmp/kimera_multi_tpu_logs")
+    p.add_argument("--gnc-rounds", type=int, default=40)
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    run_sim(args)
+
+
+def run_sim(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core import lie, rng as rngmod, stiefel
+    from ..eval import ape as ape_mod
+    from ..frontend import dlc, vocab as vocab_mod
+    from ..io import logs, sim_world
+    from ..solve import pgo, rbcd, robust
+
+    t_start = time.time()
+    print(f"[run] building world: {args.robots} robots x {args.steps} steps",
+          file=sys.stderr)
+    world = sim_world.make_world(
+        n_robots=args.robots, n_steps=args.steps,
+        features_per_kf=args.features, seed=args.seed)
+
+    # vocabulary trained on the world's descriptor corpus (role of
+    # mit_voc.yml; the reference trains offline too)
+    corpus = world.descriptors[world.obs_valid].reshape(-1, 32)
+    sub = corpus[:: max(1, len(corpus) // 4000)]
+    voc = vocab_mod.build_vocabulary(sub, k=8, depth=3, seed=args.seed)
+
+    cfg = dlc.FrontendConfig(base_seed=args.seed)
+    fe = dlc.DistributedFrontend(args.robots, args.steps, voc, cfg)
+
+    print("[run] front-end rounds...", file=sys.stderr)
+    for k in range(args.steps):
+        for r in range(args.robots):
+            if not world.obs_valid[r, k].any():
+                continue
+            fe.process_keyframe(
+                r, k, world.descriptors[r, k], world.bearings_local[r, k],
+                world.landmarks_local[r, k], world.obs_valid[r, k])
+    n_acc = sum(1 for l in fe.loops)
+    print(f"[run] committed loop closures: {n_acc} "
+          f"(attempts {len(fe.lcd_attempts)})", file=sys.stderr)
+
+    edges = fe.build_pose_graph(world.R_odo, world.t_odo)
+    params0 = pgo.init_from_odometry(edges, args.robots, args.steps)
+
+    print("[run] back-end optimization...", file=sys.stderr)
+    if args.mode == "sim-sharded":
+        from ..dist import mesh as mesh_mod, rounds
+        from ..solve import pcm
+        from ..core.containers import EDGE_SHARED_LC
+
+        # PCM consensus decides inter-robot frames before lifting (same
+        # pipeline as solve.robust.robust_pgo)
+        params_w, consensus, _ok = pcm.robot_frame_init(
+            edges, params0, args.robots, args.steps)
+        shared = edges.valid & (edges.etype == EDGE_SHARED_LC)
+        w0 = jnp.where(shared & ~consensus, 0.0,
+                       jnp.ones(edges.capacity))
+        ylift = stiefel.random_lifting_matrix(
+            rngmod.derive(rngmod.base_key(args.seed), rngmod.Stream.LIFTING),
+            5, 3)
+        Y0 = rbcd.lift_params(params_w, ylift, args.robots, args.steps)
+        m = mesh_mod.robot_mesh(args.robots)
+        rcfg = rbcd.RbcdConfig()
+        round_fn = rounds.make_round_fn(m, edges, args.steps, rcfg,
+                                        weight_update_every=2,
+                                        burnin_rounds=8)
+        state = rounds.init_state(m, Y0, jnp.ones(args.robots, bool), edges,
+                                  args.steps, init_weights=w0)
+        dpgo_rows = []
+        for i in range(args.gnc_rounds):
+            t0 = time.time()
+            state, cost = round_fn(state)
+            dpgo_rows.append(dict(
+                robot_id=0, instance=0, iteration=i,
+                num_poses=args.robots * args.steps, bytes_received=0,
+                iteration_time_sec=time.time() - t0,
+                total_time_sec=time.time() - t_start,
+                rel_change=0.0, func_decrease=float(cost), grad_norm=0.0,
+                num_active_robots=args.robots))
+        R_all, t_all = stiefel.round_solution(
+            state.Y.reshape(-1, state.Y.shape[2], state.Y.shape[3]), 3)
+        weights = state.gnc_state.weights
+        # gauge-normalize (pose 0 -> identity, matching the GN anchor),
+        # then a final SE(3) polish after rank-lifted rounding (dpgo also
+        # refines the rounded solution before publishing)
+        Rg, tg = lie.se3_inverse(R_all[0], t_all[0])
+        n_all = R_all.shape[0]
+        R_all, t_all = lie.se3_compose(
+            jnp.broadcast_to(Rg, (n_all, 3, 3)),
+            jnp.broadcast_to(tg, (n_all, 3)), R_all, t_all)
+        params = pgo.gauss_newton(
+            pgo.PgoParams(R=R_all, t=t_all), edges, weights, args.steps,
+            gn_iters=5, cg_iters=40)
+    else:
+        params, gstate = robust.robust_pgo(
+            params0, edges, args.steps, gnc_outer_iters=args.gnc_rounds)
+        weights = gstate.weights
+        dpgo_rows = [dict(robot_id=0, instance=0, iteration=i,
+                          num_poses=args.robots * args.steps,
+                          bytes_received=0, iteration_time_sec=0.0,
+                          total_time_sec=time.time() - t_start,
+                          rel_change=0.0, func_decrease=0.0, grad_norm=0.0,
+                          num_active_robots=args.robots)
+                     for i in range(1)]
+
+    # ---- logs in the reference schema -------------------------------
+    write_logs(args, world, fe, params, weights, dpgo_rows)
+
+
+def write_logs(args, world, fe, params, weights, dpgo_rows):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core import lie
+    from ..eval import ape as ape_mod
+    from ..io import logs
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    T = args.steps
+    results = {}
+    for r in range(args.robots):
+        rdir = os.path.join(args.log_dir, f"robot{r}")
+        sl = slice(r * T, (r + 1) * T)
+        R_est = params.R[sl]
+        t_est = params.t[sl]
+        q_est = np.asarray(lie.rot_to_quat(R_est))
+        ts = world.timestamps[r]
+        logs.write_tum(
+            os.path.join(rdir, "distributed",
+                         "kimera_distributed_poses_tum_0.tum"),
+            ts, np.asarray(t_est), q_est)
+        # keyframes csv (odometry frame)
+        logs.write_keyframes_csv(
+            os.path.join(rdir, "distributed",
+                         "kimera_distributed_keyframes.csv"),
+            [dict(keyframe_id=k, keyframe_stamp_ns=int(ts[k] * 1e9),
+                  tx=float(t_est[k, 0]), ty=float(t_est[k, 1]),
+                  tz=float(t_est[k, 2]), qx=float(q_est[k, 0]),
+                  qy=float(q_est[k, 1]), qz=float(q_est[k, 2]),
+                  qw=float(q_est[k, 3]))
+             for k in range(T)])
+        # loop closures owned by this robot (robot_a == r)
+        rows = []
+        for lc in fe.loops:
+            if lc.robot_a != r:
+                continue
+            q = np.asarray(lie.rot_to_quat(jnp.asarray(lc.R)))
+            rows.append(dict(
+                robot1=lc.robot_a, pose1=lc.frame_a, robot2=lc.robot_b,
+                pose2=lc.frame_b, qx=float(q[0]), qy=float(q[1]),
+                qz=float(q[2]), qw=float(q[3]), tx=float(lc.t[0]),
+                ty=float(lc.t[1]), tz=float(lc.t[2]),
+                norm_bow_score=lc.bow_score,
+                mono_inliers=lc.mono_inliers,
+                stereo_inliers=lc.stereo_inliers,
+                stamp_ns=int(world.timestamps[r, lc.frame_a] * 1e9)))
+        logs.write_loop_closures_csv(
+            os.path.join(rdir, "distributed", "loop_closures.csv"), rows)
+        logs.write_lcd_status_csv(
+            os.path.join(rdir, "single", "output_lcd_status.csv"),
+            [dict(lcd_status=_status_name(lc.status), query_id=lc.frame_a,
+                  match_id=lc.frame_b, mono_inliers=lc.mono_inliers,
+                  stereo_inliers=lc.stereo_inliers)
+             for lc in fe.lcd_attempts if lc.robot_a == r])
+        logs.write_dpgo_log_csv(
+            os.path.join(rdir, "distributed", "dpgo_log_0.csv"), dpgo_rows)
+
+        # APE vs GT (the evo_real_time.py equivalent)
+        res = ape_mod.ape(
+            t_est, R_est, jnp.asarray(world.t_gt[r]),
+            jnp.asarray(world.R_gt[r]), align=True)
+        results[r] = res
+        with open(os.path.join(args.log_dir, f"ape_robot{r}.csv"), "w") as f:
+            f.write("timestamp,rmse_trans,rmse_full,n_matched\n")
+            f.write(f"{time.time()},{res.rmse_trans},{res.rmse_full},"
+                    f"{res.n_matched}\n")
+        print(f"[run] robot {r}: APE trans RMSE = {res.rmse_trans:.4f} m "
+              f"(full {res.rmse_full:.4f})", file=sys.stderr)
+    return results
+
+
+def _status_name(code):
+    from ..core.containers import LCD_STATUS_NAMES
+
+    return LCD_STATUS_NAMES.get(int(code), "UNKNOWN")
+
+
+if __name__ == "__main__":
+    main()

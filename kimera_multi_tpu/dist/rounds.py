@@ -44,6 +44,7 @@ def make_round_fn(
     cfg: rbcd.RbcdConfig,
     weight_update_every: int = 3,
     mu_factor: float = 1.4,
+    burnin_rounds: int = 6,
 ):
     """Builds a jitted function advancing one bulk-synchronous round.
 
@@ -114,7 +115,12 @@ def make_round_fn(
         # GNC weight round (replicated compute — every device derives the
         # same weights from the same gathered state; no psum needed beyond
         # the gather already done)
-        do_update = (state.round_idx + 1) % weight_update_every == 0
+        # burn-in: let the solver approach the basin before annealing
+        # (the reference similarly runs full UPDATE rounds between weight
+        # updates, drawio:2466-2469)
+        do_update = ((state.round_idx + 1) % weight_update_every == 0) & (
+            state.round_idx + 1 >= burnin_rounds
+        )
         sq = rbcd.lifted_edge_sq_errors(
             Y_new.reshape(-1, *Y_new.shape[2:]), edges, poses_per_robot
         )
@@ -141,14 +147,18 @@ def init_state(
     edges: PoseGraphEdges,
     poses_per_robot: int,
     gnc_alpha: float = 0.9,
+    init_weights: jnp.ndarray | None = None,
 ) -> RoundState:
     """INITIALIZE: place sharded Y on the mesh, seed GNC from current
-    residuals (reference: INITIALIZE command + first weights, drawio:2221)."""
+    residuals (reference: INITIALIZE command + first weights, drawio:2221).
+    init_weights lets a PCM consensus pre-filter shared edges."""
     barc2 = gnc.barc2_from_quantile(gnc_alpha, dof=6)
     sq = rbcd.lifted_edge_sq_errors(
         Y0.reshape(-1, *Y0.shape[2:]), edges, poses_per_robot
     )
     g0 = gnc.gnc_init(sq, edges.etype, edges.valid, barc2)
+    if init_weights is not None:
+        g0 = g0.replace(weights=init_weights)
     Y_sharded = jax.device_put(Y0, NamedSharding(mesh, P(ROBOT_AXIS)))
     act = jax.device_put(active, NamedSharding(mesh, P(ROBOT_AXIS)))
     return RoundState(

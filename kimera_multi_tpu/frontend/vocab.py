@@ -100,6 +100,10 @@ def bow_from_words(word_ids: jnp.ndarray, word_weights: jnp.ndarray,
     n_seg_valid = jnp.sum(
         jnp.where(jnp.arange(K) <= seg_id[-1], seg_word < big, False)
     ).astype(jnp.int32)
+    if capacity > K:  # pad segment arrays up to the output capacity
+        pad = capacity - K
+        seg_word = jnp.concatenate([seg_word, jnp.full(pad, big, jnp.int32)])
+        w = jnp.concatenate([w, jnp.zeros(pad, w.dtype)])
     in_range = jnp.arange(capacity) <= seg_id[-1]
     ids_out = jnp.where(in_range & (seg_word[:capacity] < big),
                         seg_word[:capacity], -1)

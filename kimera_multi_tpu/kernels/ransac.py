@@ -87,13 +87,15 @@ def ransac_arun(
         t_b = jnp.where(use, t_r, t_b)
         resid_b = q - (jnp.einsum("ij,kj->ki", R_b, p) + t_b)
         best_inl = (jnp.sum(resid_b * resid_b, axis=-1) < threshold * threshold) & valid
-    n_inl = jnp.sum(best_inl)
+    n_inl = jnp.sum(best_inl).astype(jnp.int32)
     return {
         "R": R_b,
         "t": t_b,
         "inliers": best_inl,
-        "n_inliers": n_inl.astype(jnp.int32),
-        "ok": (counts[best] >= min_inliers),
+        "n_inliers": n_inl,
+        # gate on the REPORTED (post-refine) count so acceptance and the
+        # logged inlier numbers are always consistent
+        "ok": n_inl >= min_inliers,
     }
 
 
@@ -163,9 +165,10 @@ def ransac_essential(
     E_b = jnp.where(use, E_r, E_h[best])
     err_b = minimal.sampson_error(E_b, f1, f2)
     best_inl = (err_b < threshold) & valid
+    n_inl = jnp.sum(best_inl).astype(jnp.int32)
     return {
         "E": E_b,
         "inliers": best_inl,
-        "n_inliers": jnp.sum(best_inl).astype(jnp.int32),
-        "ok": counts[best] >= min_inliers,
+        "n_inliers": n_inl,
+        "ok": n_inl >= min_inliers,
     }

@@ -72,7 +72,8 @@ def test_sharded_gnc_outlier_rejection():
     round_fn = rounds.make_round_fn(m, g.edges, g.poses_per_robot, cfg,
                                     weight_update_every=2)
     state = rounds.init_state(m, Y0, active, g.edges, g.poses_per_robot)
-    for _ in range(40):
+    # enough rounds for the GNC continuation to anneal past the burn-in
+    for _ in range(60):
         state, cost = round_fn(state)
     w = np.asarray(state.gnc_state.weights)
     out = np.asarray(g.is_outlier)
