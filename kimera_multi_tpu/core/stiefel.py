@@ -23,7 +23,15 @@ def sym(M: jnp.ndarray) -> jnp.ndarray:
 
 def stiefel_project(M: jnp.ndarray) -> jnp.ndarray:
     """Project (..., r, d) onto St(d, r) via polar decomposition (closest
-    orthonormal-column matrix in Frobenius norm). Uses SVD — TPU-supported."""
+    orthonormal-column matrix in Frobenius norm).
+
+    d == 3 (the SLAM case) uses the analytic 3x3 polar factor — batched
+    VPU math, no XLA SVD custom call in the RBCD retraction hot path.
+    Other d fall back to SVD."""
+    if M.shape[-1] == 3:
+        from ..kernels.linalg import polar_orthonormalize
+
+        return polar_orthonormalize(M)
     U, _, Vt = jnp.linalg.svd(M, full_matrices=False)
     return U @ Vt
 

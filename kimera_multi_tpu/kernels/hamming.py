@@ -75,10 +75,12 @@ def knn2_lowe_match(
     D = hamming_matrix(desc_q, desc_t).astype(jnp.float32)
     big = 512.0
     D = jnp.where(valid_t[None, :], D, big)
-    # two smallest along target axis
-    neg, idx = jax.lax.top_k(-D, 2)
-    d1, d2 = -neg[:, 0], -neg[:, 1]
-    best = idx[:, 0]
+    # two smallest along the target axis via double min-reduction (top_k
+    # lowers to a full sort per row on TPU — far more expensive for k=2)
+    d1 = jnp.min(D, axis=1)
+    best = jnp.argmin(D, axis=1).astype(jnp.int32)
+    D2 = D.at[jnp.arange(D.shape[0]), best].set(big)
+    d2 = jnp.min(D2, axis=1)
     ok = (
         valid_q
         & (d1 < lowe_ratio * d2)

@@ -10,6 +10,7 @@ opengv, SURVEY.md section 2.1 `opengv` row).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular as _solve_triangular
 
@@ -139,6 +140,94 @@ def so3_procrustes(H: jnp.ndarray):
     R = Vp @ jnp.swapaxes(U, -1, -2)
     ok = s[..., 1] > 1e-7 * jnp.maximum(s[..., 0], 1.0)
     return R, ok
+
+
+def cholesky_unrolled(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched Cholesky for small static n via fully-unrolled scalar
+    recurrences — compiles to branchless elementwise VPU code (no XLA
+    Cholesky custom call). A: (..., n, n) SPD."""
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        dj = jnp.sqrt(jnp.maximum(s, _EPS))
+        L[j][j] = dj
+        inv_dj = 1.0 / dj
+        for i in range(j + 1, n):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_dj
+    zero = jnp.zeros_like(A[..., 0, 0])
+    rows = [
+        jnp.stack([L[i][j] if j <= i else zero for j in range(n)], axis=-1)
+        for i in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def _tri_solve_unrolled(L: jnp.ndarray, b: jnp.ndarray, lower: bool):
+    """Solve L x = b (lower) or L^T x = b (upper via lower input), unrolled
+    for small static n. b: (..., n)."""
+    n = L.shape[-1]
+    x = [None] * n
+    order = range(n) if lower else range(n - 1, -1, -1)
+    for i in order:
+        s = b[..., i]
+        if lower:
+            for k in range(i):
+                s = s - L[..., i, k] * x[k]
+            x[i] = s / L[..., i, i]
+        else:
+            for k in range(i + 1, n):
+                s = s - L[..., k, i] * x[k]
+            x[i] = s / L[..., i, i]
+    return jnp.stack(x, axis=-1)
+
+
+def smallest_eigvec_psd(N: jnp.ndarray, iters: int = 4,
+                        shift_scale: float = 1e-7) -> jnp.ndarray:
+    """Smallest-eigenvalue eigenvector of a batched PSD matrix (..., n, n)
+    via shifted inverse iteration with an unrolled Cholesky.
+
+    XLA's generic eigh lowers to a serialized QR-iteration custom call that
+    dominates RANSAC runtime on TPU for tiny (9x9) systems. Inverse
+    iteration amplifies the bottom eigenvector by (lam2+shift)/(lam1+shift)
+    per step — thousands of x for RANSAC normal matrices whose smallest
+    eigenvalue is ~0 — so a handful of unrolled solves replace the custom
+    call with pure VPU code.
+    """
+    n = N.shape[-1]
+    tr = jnp.trace(N, axis1=-2, axis2=-1)
+    shift = (shift_scale * tr / n + 1e-12)[..., None, None]
+    A = N + shift * jnp.eye(n, dtype=N.dtype)
+    L = cholesky_unrolled(A)
+    # deterministic init biased toward the smallest diagonal entry
+    d = jnp.diagonal(N, axis1=-2, axis2=-1)
+    k = jnp.argmin(d, axis=-1)
+    v = jax.nn.one_hot(k, n, dtype=N.dtype) + 0.1
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    for _ in range(iters):
+        y = _tri_solve_unrolled(L, v, lower=True)
+        v = _tri_solve_unrolled(L, y, lower=False)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), _EPS)
+    return v
+
+
+def polar_orthonormalize(M: jnp.ndarray) -> jnp.ndarray:
+    """Closest orthonormal-column matrix to (..., r, 3): analytic polar
+    factor M (M^T M)^{-1/2} via the closed-form 3x3 eigendecomposition —
+    the fast path for Stiefel retraction (requires full column rank, which
+    holds for retraction inputs Y + small steps)."""
+    A = jnp.swapaxes(M, -1, -2) @ M
+    evals, V = eigh3x3(A)
+    inv_sqrt = jnp.einsum(
+        "...ik,...k,...jk->...ij", V, 1.0 / jnp.sqrt(jnp.maximum(evals, 1e-12)), V
+    )
+    return M @ inv_sqrt
+
 
 
 def cholesky_solve(A: jnp.ndarray, b: jnp.ndarray, damping: float = 0.0) -> jnp.ndarray:

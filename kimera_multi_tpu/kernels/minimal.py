@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .linalg import eigh3x3, so3_procrustes
+from .linalg import eigh3x3, smallest_eigvec_psd, so3_procrustes
 
 _EPS = 1e-12
 
@@ -86,8 +86,9 @@ def essential_8pt(f1: jnp.ndarray, f2: jnp.ndarray, w: jnp.ndarray | None = None
     )
     Wr = rows * w[..., None]
     N = jnp.einsum("...ki,...kj->...ij", Wr, rows)  # (..., 9, 9) PSD
-    evals, evecs = jnp.linalg.eigh(N)  # ascending
-    e = evecs[..., :, 0]
+    # smallest eigenvector via complement power iteration — XLA's 9x9 eigh
+    # custom call dominates RANSAC runtime on TPU otherwise
+    e = smallest_eigvec_psd(N)
     E = e.reshape(*e.shape[:-1], 3, 3)
     # project to essential manifold: E <- U diag(1, 1, 0) V^T (scale-free)
     A = jnp.swapaxes(E, -1, -2) @ E

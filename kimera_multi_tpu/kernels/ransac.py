@@ -27,15 +27,33 @@ _EPS = 1e-12
 def _masked_sample(key, valid: jnp.ndarray, n_hyp: int, k: int) -> jnp.ndarray:
     """(n_hyp, k) distinct indices drawn only from valid positions.
 
-    Requires >= k valid entries; with fewer, indices repeat across the valid
-    set and downstream `ok` masking rejects those hypotheses.
+    Floyd's k-subset sampling, vectorized over hypotheses: draw
+    t_j ~ U[0, m-k+j] for j = 0..k-1 over the valid count m; if t_j
+    collides with an earlier pick, substitute m-k+j. O(k^2) compares —
+    no per-hypothesis sort (top-k of uniforms costs a 704-element sort per
+    hypothesis on TPU, which dominated the whole verification kernel).
+
+    Requires >= k valid entries; with fewer, index clamping yields repeats
+    and downstream degeneracy masking rejects those hypotheses.
     """
     n = valid.shape[0]
-    keys = jax.random.split(key, n_hyp)
-    u = jax.vmap(lambda kk: jax.random.uniform(kk, (n,)))(keys)
-    u = jnp.where(valid[None, :], u, -1.0)
-    _, idx = jax.lax.top_k(u, k)
-    return idx.astype(jnp.int32)
+    m = jnp.sum(valid).astype(jnp.int32)  # number of valid entries
+    # positions of valid entries first, in original order (one stable sort)
+    order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
+    u = jax.random.uniform(key, (n_hyp, k))
+    picks = jnp.zeros((n_hyp, k), jnp.int32)
+    for j in range(k):
+        hi = jnp.maximum(m - k + 1 + j, 1)  # range size for draw j
+        t = jnp.minimum((u[:, j] * hi.astype(u.dtype)).astype(jnp.int32),
+                        hi - 1)
+        # collision with any earlier pick -> substitute the new top index
+        coll = jnp.zeros((n_hyp,), bool)
+        for i in range(j):
+            coll = coll | (picks[:, i] == t)
+        t = jnp.where(coll, m - k + j, t)
+        picks = picks.at[:, j].set(t)
+    picks = jnp.clip(picks, 0, n - 1)
+    return order[picks].astype(jnp.int32)
 
 
 def ransac_arun(
