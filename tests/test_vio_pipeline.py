@@ -1,0 +1,97 @@
+"""Full VIO pipeline on a rendered synthetic sequence (camera over a
+textured plane + IMU), checking odometry accuracy vs GT."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from kimera_multi_tpu.core import lie
+from kimera_multi_tpu.vio import imu as imu_mod, pipeline
+
+
+FX = FY = 200.0
+CX, CY = 80.0, 60.0
+H, W = 120, 160
+
+
+def _render(R, t, blobs):
+    """Camera at (R, t) looking at world blobs (N, 3): render gaussians."""
+    pc = np.einsum("ji,nj->ni", R, blobs - t)  # world -> camera
+    z = pc[:, 2]
+    vis = z > 0.5
+    u = FX * pc[:, 0] / np.maximum(z, 1e-6) + CX
+    v = FY * pc[:, 1] / np.maximum(z, 1e-6) + CY
+    img = np.zeros((H, W), np.float32)
+    ys, xs = np.mgrid[0:H, 0:W]
+    for i in np.nonzero(vis)[0]:
+        if -10 < u[i] < W + 10 and -10 < v[i] < H + 10:
+            img += np.exp(-(((xs - u[i]) ** 2 + (ys - v[i]) ** 2)
+                            / (2 * 2.0**2))).astype(np.float32)
+    return img
+
+
+def _trajectory(n_frames=16, cam_hz=10.0, imu_hz=100.0):
+    """Oscillating motion (accel excitation makes monocular scale
+    observable). Camera looks down +z at a plane of blobs at z=4."""
+    g = np.asarray(imu_mod.GRAVITY)
+    T = n_frames / cam_hz
+    n_imu = int(T * imu_hz)
+    dt = 1.0 / imu_hz
+    ts = np.arange(n_imu) * dt
+    # starts at rest (v(0) = 0 — matches the pipeline's bootstrap anchor,
+    # like a robot starting stationary); oscillation gives accel excitation
+    w1, w2, A1, A2 = 1.5, 0.9, 0.4, 0.3
+    p = np.stack([A1 * (1 - np.cos(w1 * ts)), A2 * (1 - np.cos(w2 * ts)),
+                  np.zeros_like(ts)], -1)
+    v = np.stack([A1 * w1 * np.sin(w1 * ts), A2 * w2 * np.sin(w2 * ts),
+                  np.zeros_like(ts)], -1)
+    a = np.stack([A1 * w1 * w1 * np.cos(w1 * ts),
+                  A2 * w2 * w2 * np.cos(w2 * ts), np.zeros_like(ts)], -1)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (n_imu, 3, 3))
+    gyro = np.zeros((n_imu, 3), np.float32)
+    accel = np.einsum("kji,kj->ki", R, a - g[None]).astype(np.float32)
+    frame_idx = (np.arange(n_frames) * imu_hz / cam_hz).astype(int)
+    return (ts, R.astype(np.float32), v.astype(np.float32),
+            p.astype(np.float32), gyro, accel, frame_idx, dt)
+
+
+def test_vio_pipeline_tracks_motion():
+    npr = np.random.default_rng(5)
+    blobs = np.concatenate([
+        npr.uniform(-3, 4, (150, 2)), np.full((150, 1), 4.0)], -1
+    ).astype(np.float32)
+    ts, R, v, p, gyro, accel, frame_idx, dt = _trajectory()
+
+    cfg = pipeline.PipelineConfig(
+        gftt=pipeline.tracking.GfttParams(max_features=96, min_distance=6),
+        klt=pipeline.tracking.KltParams(win_size=16, max_level=3,
+                                        max_iter=20),
+        min_intra_keyframe_time=0.05,
+        disparity_threshold=0.3,
+        window_size=6,
+        fx=FX, fy=FY, cx=CX, cy=CY,
+    )
+    pipe = pipeline.VioPipeline(cfg)
+    last_imu = 0
+    for fi, k in enumerate(frame_idx):
+        # feed IMU since previous frame
+        for i in range(last_imu, k):
+            pipe.add_imu(ts[i], gyro[i], accel[i])
+        last_imu = k
+        img = _render(R[k], p[k], blobs)
+        pipe.process_frame(ts[k], img)
+
+    kfs = pipe.keyframes
+    assert len(kfs) >= 8
+    # compare estimated keyframe positions to GT (both anchored at start)
+    est = np.stack([kf.t for kf in kfs])
+    kf_ts = np.asarray([kf.timestamp for kf in kfs])
+    gt_idx = (kf_ts * 100).astype(int).clip(0, len(p) - 1)
+    gt = p[gt_idx]
+    err = np.linalg.norm(est - gt, axis=1)
+    # monocular-inertial odometry on a short window: sub-0.3 m error over
+    # a ~1.6 s / ~0.6 m-amplitude trajectory
+    assert err.max() < 0.3, err
+    # velocity should be roughly tracked too
+    est_v = np.stack([kf.v for kf in kfs[2:]])
+    gt_v = v[gt_idx][2:]
+    assert np.linalg.norm(est_v - gt_v, axis=1).mean() < 0.4
