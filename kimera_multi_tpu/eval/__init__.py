@@ -1,1 +1,1 @@
-from . import ape  # noqa: F401
+from . import ape, lc_forensics  # noqa: F401

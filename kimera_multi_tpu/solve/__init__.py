@@ -1,1 +1,1 @@
-from . import chordal, gnc, pgo, robust  # noqa: F401
+from . import chordal, deformation, gnc, pcm, pgo, rbcd, robust  # noqa: F401
