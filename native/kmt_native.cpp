@@ -1,0 +1,361 @@
+// kmt_native: native runtime support for kimera_multi_tpu.
+//
+// Role of the reference's native glue layers (SURVEY.md section 2.1):
+//   * pose_graph_tools' message definitions/serialization -> a compact
+//     binary wire format for PoseGraph edges and VLC frames (DCN
+//     transport between pods, on-disk keyframe logs);
+//   * Kimera-VIO's ThreadsafeQueue (images/kimera-multi.drawio:1363) and
+//     RosbagDataProvider (drawio:834-863) -> a background-thread replayer
+//     that decodes keyframe packets from disk into a bounded ring buffer
+//     while the accelerator computes (host IO/compute overlap).
+//
+// Exposed as a plain C ABI consumed from Python via ctypes
+// (kimera_multi_tpu/io/native.py). No Python.h dependency.
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------
+// wire format
+// ---------------------------------------------------------------------
+// Everything little-endian. One "packet" is:
+//   magic u32 'KMT1' | type u8 | payload_len u32 | payload
+// Edge payload (type 1): src_robot i32, src_pose i32, dst_robot i32,
+//   dst_pose i32, etype i32, kappa f32, tau f32, R f32[9], t f32[3]
+// VLC frame payload (type 2): robot i32, frame i32, n_feats i32,
+//   then n_feats * (desc u8[32], bearing f32[3], landmark f32[3],
+//   valid u8, has_depth u8)
+
+constexpr uint32_t kMagic = 0x314B4D54;  // "TMK1" little-endian view
+constexpr uint8_t kTypeEdge = 1;
+constexpr uint8_t kTypeVlc = 2;
+
+struct Buffer {
+  std::vector<uint8_t> data;
+  size_t read_pos = 0;
+};
+
+void put_bytes(Buffer* b, const void* p, size_t n) {
+  const uint8_t* s = static_cast<const uint8_t*>(p);
+  b->data.insert(b->data.end(), s, s + n);
+}
+
+template <typename T>
+void put(Buffer* b, T v) {
+  put_bytes(b, &v, sizeof(T));
+}
+
+bool get_bytes(Buffer* b, void* p, size_t n) {
+  if (b->read_pos + n > b->data.size()) return false;
+  std::memcpy(p, b->data.data() + b->read_pos, n);
+  b->read_pos += n;
+  return true;
+}
+
+template <typename T>
+bool get(Buffer* b, T* v) {
+  return get_bytes(b, v, sizeof(T));
+}
+
+struct EdgeRec {
+  int32_t src_robot, src_pose, dst_robot, dst_pose, etype;
+  float kappa, tau;
+  float R[9];
+  float t[3];
+};
+
+struct VlcHeader {
+  int32_t robot, frame, n_feats;
+};
+
+void write_packet(Buffer* b, uint8_t type, const Buffer& payload) {
+  put<uint32_t>(b, kMagic);
+  put<uint8_t>(b, type);
+  put<uint32_t>(b, static_cast<uint32_t>(payload.data.size()));
+  put_bytes(b, payload.data.data(), payload.data.size());
+}
+
+// ---------------------------------------------------------------------
+// replayer: background decode thread + bounded queue
+// ---------------------------------------------------------------------
+
+struct Packet {
+  uint8_t type;
+  std::vector<uint8_t> payload;
+};
+
+class Replayer {
+ public:
+  Replayer(const std::string& path, size_t queue_capacity)
+      : capacity_(queue_capacity), done_(false), error_(false) {
+    worker_ = std::thread([this, path] { this->run(path); });
+  }
+  ~Replayer() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_pop_.notify_all();
+    cv_push_.notify_all();
+    if (worker_.joinable()) worker_.join();
+  }
+
+  // Pops the next packet; returns false when the stream is exhausted.
+  bool pop(Packet* out) {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_pop_.wait(lk, [this] { return !q_.empty() || done_ || stop_; });
+    if (q_.empty()) return false;
+    *out = std::move(q_.front());
+    q_.pop();
+    cv_push_.notify_one();
+    return true;
+  }
+
+  bool error() const { return error_.load(); }
+
+ private:
+  void run(const std::string& path) {
+    FILE* f = std::fopen(path.c_str(), "rb");
+    if (!f) {
+      error_ = true;
+      finish();
+      return;
+    }
+    while (true) {
+      uint32_t magic = 0;
+      if (std::fread(&magic, 4, 1, f) != 1) break;
+      if (magic != kMagic) {
+        error_ = true;
+        break;
+      }
+      uint8_t type = 0;
+      uint32_t len = 0;
+      if (std::fread(&type, 1, 1, f) != 1 ||
+          std::fread(&len, 4, 1, f) != 1) {
+        error_ = true;
+        break;
+      }
+      Packet p;
+      p.type = type;
+      p.payload.resize(len);
+      if (len && std::fread(p.payload.data(), 1, len, f) != len) {
+        error_ = true;
+        break;
+      }
+      std::unique_lock<std::mutex> lk(mu_);
+      cv_push_.wait(lk, [this] { return q_.size() < capacity_ || stop_; });
+      if (stop_) break;
+      q_.push(std::move(p));
+      cv_pop_.notify_one();
+    }
+    std::fclose(f);
+    finish();
+  }
+
+  void finish() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      done_ = true;
+    }
+    cv_pop_.notify_all();
+  }
+
+  size_t capacity_;
+  std::queue<Packet> q_;
+  std::mutex mu_;
+  std::condition_variable cv_pop_, cv_push_;
+  std::thread worker_;
+  bool stop_ = false;
+  bool done_;
+  std::atomic<bool> error_;
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------
+
+extern "C" {
+
+// ---- serialization ---------------------------------------------------
+
+void* kmt_buffer_new() { return new Buffer(); }
+void kmt_buffer_free(void* b) { delete static_cast<Buffer*>(b); }
+const uint8_t* kmt_buffer_data(void* b) {
+  return static_cast<Buffer*>(b)->data.data();
+}
+uint64_t kmt_buffer_size(void* b) {
+  return static_cast<Buffer*>(b)->data.size();
+}
+void kmt_buffer_load(void* b, const uint8_t* data, uint64_t n) {
+  Buffer* buf = static_cast<Buffer*>(b);
+  buf->data.assign(data, data + n);
+  buf->read_pos = 0;
+}
+
+void kmt_write_edges(void* b, int32_t n, const int32_t* src_robot,
+                     const int32_t* src_pose, const int32_t* dst_robot,
+                     const int32_t* dst_pose, const int32_t* etype,
+                     const float* kappa, const float* tau, const float* R,
+                     const float* t) {
+  Buffer* out = static_cast<Buffer*>(b);
+  for (int32_t i = 0; i < n; ++i) {
+    Buffer payload;
+    EdgeRec e;
+    e.src_robot = src_robot[i];
+    e.src_pose = src_pose[i];
+    e.dst_robot = dst_robot[i];
+    e.dst_pose = dst_pose[i];
+    e.etype = etype[i];
+    e.kappa = kappa[i];
+    e.tau = tau[i];
+    std::memcpy(e.R, R + 9 * i, 9 * sizeof(float));
+    std::memcpy(e.t, t + 3 * i, 3 * sizeof(float));
+    put(&payload, e);
+    write_packet(out, kTypeEdge, payload);
+  }
+}
+
+// Reads up to max_n edges from the buffer; returns the number read.
+int32_t kmt_read_edges(void* b, int32_t max_n, int32_t* src_robot,
+                       int32_t* src_pose, int32_t* dst_robot,
+                       int32_t* dst_pose, int32_t* etype, float* kappa,
+                       float* tau, float* R, float* t) {
+  Buffer* in = static_cast<Buffer*>(b);
+  int32_t count = 0;
+  while (count < max_n) {
+    size_t mark = in->read_pos;
+    uint32_t magic;
+    uint8_t type;
+    uint32_t len;
+    if (!get(in, &magic) || magic != kMagic || !get(in, &type) ||
+        !get(in, &len)) {
+      in->read_pos = mark;
+      break;
+    }
+    if (type != kTypeEdge) {  // skip foreign packets
+      in->read_pos += len;
+      continue;
+    }
+    EdgeRec e;
+    if (!get(in, &e)) {
+      in->read_pos = mark;
+      break;
+    }
+    src_robot[count] = e.src_robot;
+    src_pose[count] = e.src_pose;
+    dst_robot[count] = e.dst_robot;
+    dst_pose[count] = e.dst_pose;
+    etype[count] = e.etype;
+    kappa[count] = e.kappa;
+    tau[count] = e.tau;
+    std::memcpy(R + 9 * count, e.R, 9 * sizeof(float));
+    std::memcpy(t + 3 * count, e.t, 3 * sizeof(float));
+    ++count;
+  }
+  return count;
+}
+
+void kmt_write_vlc(void* b, int32_t robot, int32_t frame, int32_t n_feats,
+                   const uint8_t* desc, const float* bearings,
+                   const float* landmarks, const uint8_t* valid,
+                   const uint8_t* has_depth) {
+  Buffer* out = static_cast<Buffer*>(b);
+  Buffer payload;
+  VlcHeader h{robot, frame, n_feats};
+  put(&payload, h);
+  for (int32_t i = 0; i < n_feats; ++i) {
+    put_bytes(&payload, desc + 32 * i, 32);
+    put_bytes(&payload, bearings + 3 * i, 12);
+    put_bytes(&payload, landmarks + 3 * i, 12);
+    put<uint8_t>(&payload, valid[i]);
+    put<uint8_t>(&payload, has_depth[i]);
+  }
+  write_packet(out, kTypeVlc, payload);
+}
+
+// Reads one VLC frame (up to max_feats); returns n_feats or -1.
+int32_t kmt_read_vlc(void* b, int32_t max_feats, int32_t* robot,
+                     int32_t* frame, uint8_t* desc, float* bearings,
+                     float* landmarks, uint8_t* valid, uint8_t* has_depth) {
+  Buffer* in = static_cast<Buffer*>(b);
+  while (true) {
+    size_t mark = in->read_pos;
+    uint32_t magic;
+    uint8_t type;
+    uint32_t len;
+    if (!get(in, &magic) || magic != kMagic || !get(in, &type) ||
+        !get(in, &len)) {
+      in->read_pos = mark;
+      return -1;
+    }
+    if (type != kTypeVlc) {
+      in->read_pos += len;
+      continue;
+    }
+    VlcHeader h;
+    if (!get(in, &h)) return -1;
+    *robot = h.robot;
+    *frame = h.frame;
+    int32_t n = h.n_feats < max_feats ? h.n_feats : max_feats;
+    for (int32_t i = 0; i < h.n_feats; ++i) {
+      uint8_t d[32], v, hd;
+      float be[3], lm[3];
+      if (!get_bytes(in, d, 32) || !get_bytes(in, be, 12) ||
+          !get_bytes(in, lm, 12) || !get(in, &v) || !get(in, &hd))
+        return -1;
+      if (i < n) {
+        std::memcpy(desc + 32 * i, d, 32);
+        std::memcpy(bearings + 3 * i, be, 12);
+        std::memcpy(landmarks + 3 * i, lm, 12);
+        valid[i] = v;
+        has_depth[i] = hd;
+      }
+    }
+    return n;
+  }
+}
+
+int32_t kmt_buffer_write_file(void* b, const char* path) {
+  Buffer* buf = static_cast<Buffer*>(b);
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  size_t n = std::fwrite(buf->data.data(), 1, buf->data.size(), f);
+  std::fclose(f);
+  return n == buf->data.size() ? 0 : -1;
+}
+
+// ---- replayer --------------------------------------------------------
+
+void* kmt_replayer_open(const char* path, int32_t queue_capacity) {
+  return new Replayer(path, static_cast<size_t>(queue_capacity));
+}
+void kmt_replayer_close(void* r) { delete static_cast<Replayer*>(r); }
+
+// Pops the next packet into the provided buffer; returns the packet type,
+// 0 at end of stream, -1 on stream error.
+int32_t kmt_replayer_pop(void* r, void* buffer_out) {
+  Replayer* rep = static_cast<Replayer*>(r);
+  Packet p;
+  if (!rep->pop(&p)) return rep->error() ? -1 : 0;
+  Buffer* b = static_cast<Buffer*>(buffer_out);
+  b->data.clear();
+  b->read_pos = 0;
+  Buffer payload;
+  payload.data = std::move(p.payload);
+  write_packet(b, p.type, payload);
+  return p.type;
+}
+
+}  // extern "C"
