@@ -1,1 +1,1 @@
-from . import config, logs, sim_world, synthetic  # noqa: F401
+from . import config, dataset, logs, native, sim_world, synthetic  # noqa: F401

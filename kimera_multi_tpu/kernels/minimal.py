@@ -107,6 +107,95 @@ def _unit(v):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), _EPS)
 
 
+# ---------------------------------------------------------------------------
+# 2d3d: EPnP (reference `ransac_2d3d_algorithm: 3  # EPNP`,
+# params/D455/LcdParams.yaml:74, FrontendParams.yaml pnp_algorithm)
+# ---------------------------------------------------------------------------
+
+
+def epnp(
+    X: jnp.ndarray,  # (..., k, 3) world points
+    f: jnp.ndarray,  # (..., k, 3) unit bearings in camera frame
+    w: jnp.ndarray | None = None,
+):
+    """EPnP pose estimation (camera pose from 2d-3d correspondences).
+
+    Lepetit-style: 4 control points (centroid + scaled principal axes of
+    the world points), barycentric coordinates, the (2k, 12) design
+    system's smallest singular vector (beta-1 case), scale/sign fix from
+    cheirality + rigidity, then Procrustes onto the world control points.
+    All steps reuse the analytic/unrolled primitives (no XLA eig custom
+    calls). Returns (R, t, ok) with x_cam = R x_world + t.
+    """
+    from .linalg import smallest_eigvec_psd
+
+    if w is None:
+        w = jnp.ones(X.shape[:-1], X.dtype)
+    wn = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), _EPS)
+    # control points: centroid + principal axes
+    c0 = jnp.sum(X * wn[..., None], axis=-2)
+    Xc = X - c0[..., None, :]
+    cov = jnp.einsum("...k,...ki,...kj->...ij", wn, Xc, Xc)
+    evals, V = eigh3x3(cov)
+    s = jnp.sqrt(jnp.maximum(evals, 1e-10))
+    ctrl = jnp.concatenate(
+        [c0[..., None, :],
+         c0[..., None, :] + jnp.swapaxes(V, -1, -2) * s[..., :, None]],
+        axis=-2)  # (..., 4, 3): c0, c0+s1*v1, c0+s2*v2, c0+s3*v3
+    # barycentric coords: X = alphas @ ctrl with sum(alphas) = 1
+    # alpha_{1..3} solve V diag(s) a = (X - c0) -> a = diag(1/s) V^T (X-c0)
+    a123 = jnp.einsum("...ij,...kj->...ki", jnp.swapaxes(V, -1, -2), Xc) \
+        / s[..., None, :]
+    a0 = 1.0 - jnp.sum(a123, axis=-1, keepdims=True)
+    alphas = jnp.concatenate([a0, a123], axis=-1)  # (..., k, 4)
+
+    # design: for each correspondence, the camera point sum_j a_j C^c_j is
+    # parallel to bearing f => two independent cross-product rows; use all
+    # 3 rows of [f]x (rank 2) for simplicity.
+    Fx = jnp.stack([
+        jnp.zeros_like(f[..., 0]), -f[..., 2], f[..., 1],
+        f[..., 2], jnp.zeros_like(f[..., 0]), -f[..., 0],
+        -f[..., 1], f[..., 0], jnp.zeros_like(f[..., 0]),
+    ], axis=-1).reshape(*f.shape[:-1], 3, 3)
+    # rows[..., k, row, ctrl, coord] = Fx[..., k, row, coord] * alpha_ctrl
+    rows = Fx[..., :, :, None, :] * alphas[..., :, None, :, None]
+    M = rows.reshape(*f.shape[:-2], f.shape[-2] * 3, 12)
+    Mw = M * jnp.repeat(jnp.sqrt(jnp.maximum(w, 0.0)), 3, axis=-1)[..., None]
+    N = jnp.einsum("...ki,...kj->...ij", Mw, Mw)
+    v = smallest_eigvec_psd(N)  # (..., 12) = stacked camera control points
+    Cc = v.reshape(*v.shape[:-1], 4, 3)
+    # scale: match inter-control-point distances to world ones
+    dw = ctrl[..., 1:, :] - ctrl[..., :1, :]
+    dc = Cc[..., 1:, :] - Cc[..., :1, :]
+    num = jnp.sum(jnp.linalg.norm(dw, axis=-1), axis=-1)
+    den = jnp.sum(jnp.linalg.norm(dc, axis=-1), axis=-1)
+    beta = num / jnp.maximum(den, _EPS)
+    Cc = Cc * beta[..., None, None]
+    # cheirality: camera points must be in front (positive mean depth
+    # along bearings)
+    pts_c = jnp.einsum("...kj,...ji->...ki", alphas, Cc)
+    depth_sign = jnp.sign(jnp.sum(jnp.sum(pts_c * f, axis=-1), axis=-1))
+    Cc = Cc * jnp.where(depth_sign == 0, 1.0, depth_sign)[..., None, None]
+    # Procrustes: find (R, t): Cc ~ R ctrl + t
+    cw_bar = jnp.mean(ctrl, axis=-2)
+    cc_bar = jnp.mean(Cc, axis=-2)
+    H = jnp.einsum("...ki,...kj->...ij", ctrl - cw_bar[..., None, :],
+                   Cc - cc_bar[..., None, :])
+    R, okp = so3_procrustes(H)
+    t = cc_bar - jnp.einsum("...ij,...j->...i", R, cw_bar)
+    ok = okp & (jnp.abs(den) > 1e-9)
+    return R, t, ok
+
+
+def bearing_reprojection_error(R, t, X, f):
+    """Squared angular reprojection error (1 - cos^2-style cross product)
+    of world points X against observed bearings f under x_c = R X + t."""
+    pc = jnp.einsum("...ij,...kj->...ki", R, X) + t[..., None, :]
+    pc = _unit(pc)
+    c = jnp.cross(pc, f)
+    return jnp.sum(c * c, axis=-1)
+
+
 def sampson_error(E: jnp.ndarray, f1: jnp.ndarray, f2: jnp.ndarray) -> jnp.ndarray:
     """First-order epipolar (Sampson) error for bearing vectors.
 

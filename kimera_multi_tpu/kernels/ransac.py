@@ -153,6 +153,50 @@ def ransac_translation_known_rotation(
     }
 
 
+def ransac_pnp(
+    key,
+    X: jnp.ndarray,  # (K, 3) world points
+    f: jnp.ndarray,  # (K, 3) camera-frame unit bearings
+    valid: jnp.ndarray,
+    threshold_px: float = 1.0,
+    focal: float = 400.0,
+    n_hyp: int = 500,
+    min_inliers: int = 20,
+    k_sample: int = 6,
+):
+    """2d3d RANSAC with the EPnP solver (reference: `use_pnp_tracking` /
+    `pose_recovery_type: 1`, min_pnp_inliers 20, ransac_threshold_pnp 1 px;
+    FrontendParams.yaml:84-88, LcdParams.yaml:53,57,74).
+
+    The pixel threshold is converted to an angular one via the focal
+    length (opengv does the same internally). Returns x_cam = R x_world + t.
+    """
+    ang_thresh = threshold_px / focal
+    thr2 = ang_thresh * ang_thresh
+    idx = _masked_sample(key, valid, n_hyp, k_sample)
+    R_h, t_h, ok_h = minimal.epnp(X[idx], f[idx])
+    err = minimal.bearing_reprojection_error(R_h, t_h, X[None], f[None])
+    inl = (err < thr2) & valid[None, :]
+    counts = jnp.sum(inl, axis=1) * ok_h
+    best = jnp.argmax(counts)
+    best_inl = inl[best]
+    # refine on consensus
+    R_r, t_r, ok_r = minimal.epnp(X, f, best_inl.astype(X.dtype))
+    use = ok_r & (jnp.sum(best_inl) >= k_sample)
+    R_b = jnp.where(use, R_r, R_h[best])
+    t_b = jnp.where(use, t_r, t_h[best])
+    err_b = minimal.bearing_reprojection_error(R_b, t_b, X, f)
+    best_inl = (err_b < thr2) & valid
+    n_inl = jnp.sum(best_inl).astype(jnp.int32)
+    return {
+        "R": R_b,
+        "t": t_b,
+        "inliers": best_inl,
+        "n_inliers": n_inl,
+        "ok": n_inl >= min_inliers,
+    }
+
+
 def ransac_essential(
     key,
     f1: jnp.ndarray,

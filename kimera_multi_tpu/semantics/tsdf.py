@@ -1,0 +1,148 @@
+"""Metric-semantic TSDF integration on a fixed dense voxel grid.
+
+Role of kimera_semantics + voxblox (SURVEY.md section 2.1: "Metric-
+semantic TSDF integration -> 3D mesh with semantic labels",
+README.md:86-89,130).
+
+TPU formulation: the projective-TSDF update (KinectFusion style) runs over
+ALL voxels in parallel — each voxel projects into the current depth image,
+reads the measured depth, and blends a truncated SDF — instead of
+voxblox's per-ray CPU marching. Semantic labels fuse as per-voxel class
+histograms (scatter-add), hardened by argmax at extraction. Surface
+extraction emits zero-crossing vertices + normals (marching-cubes
+triangulation via the full 256-case table is the planned follow-up;
+SURVEY.md marks it a stretch goal — the deformation/correction path
+consumes vertices, which this provides).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TsdfGrid(NamedTuple):
+    tsdf: jnp.ndarray  # (X, Y, Z) float32, initialized at +trunc
+    weight: jnp.ndarray  # (X, Y, Z) float32
+    sem_hist: jnp.ndarray  # (X, Y, Z, C) float32 class histogram
+    origin: jnp.ndarray  # (3,) world position of voxel (0,0,0)
+    voxel_size: float
+    trunc: float
+
+
+def make_grid(shape, origin, voxel_size: float, trunc: float,
+              n_classes: int = 8) -> TsdfGrid:
+    X, Y, Z = shape
+    return TsdfGrid(
+        tsdf=jnp.full(shape, trunc, jnp.float32),
+        weight=jnp.zeros(shape, jnp.float32),
+        sem_hist=jnp.zeros((X, Y, Z, n_classes), jnp.float32),
+        origin=jnp.asarray(origin, jnp.float32),
+        voxel_size=float(voxel_size),
+        trunc=float(trunc),
+    )
+
+
+def depth_image_from_points(points_cam, labels, valid, H, W, fx, fy, cx, cy):
+    """Bin a camera-frame point cloud into a (H, W) depth + label image
+    (scatter-min on depth; the sensor adapter when no depth camera image
+    is available)."""
+    z = points_cam[:, 2]
+    ok = valid & (z > 1e-3)
+    u = jnp.clip((fx * points_cam[:, 0] / jnp.maximum(z, 1e-6) + cx)
+                 .astype(jnp.int32), 0, W - 1)
+    v = jnp.clip((fy * points_cam[:, 1] / jnp.maximum(z, 1e-6) + cy)
+                 .astype(jnp.int32), 0, H - 1)
+    flat = v * W + u
+    big = 1e6
+    depth = jnp.full((H * W,), big, jnp.float32)
+    depth = depth.at[jnp.where(ok, flat, 0)].min(jnp.where(ok, z, big))
+    lab = jnp.zeros((H * W,), jnp.int32)
+    lab = lab.at[jnp.where(ok, flat, 0)].max(jnp.where(ok, labels, 0))
+    depth = jnp.where(depth >= big, 0.0, depth)
+    return depth.reshape(H, W), lab.reshape(H, W)
+
+
+@jax.jit
+def integrate(grid: TsdfGrid, depth: jnp.ndarray, label_img: jnp.ndarray,
+              R_wc: jnp.ndarray, t_wc: jnp.ndarray,
+              fx: float, fy: float, cx: float, cy: float,
+              max_weight: float = 100.0) -> TsdfGrid:
+    """One projective TSDF update from a posed depth image.
+
+    R_wc, t_wc: camera pose in world (world <- cam). All voxels update in
+    parallel: voxel -> camera frame -> pixel -> sdf = depth(px) - z_voxel.
+    """
+    X, Y, Z = grid.tsdf.shape
+    H, W = depth.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 2)
+    centers = (jnp.stack([ii, jj, kk], -1).astype(jnp.float32) + 0.5) \
+        * grid.voxel_size + grid.origin
+    pc = jnp.einsum("ji,xyzj->xyzi", R_wc, centers - t_wc)  # cam frame
+    z = pc[..., 2]
+    u = fx * pc[..., 0] / jnp.maximum(z, 1e-6) + cx
+    v = fy * pc[..., 1] / jnp.maximum(z, 1e-6) + cy
+    ui = jnp.clip(u.astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(v.astype(jnp.int32), 0, H - 1)
+    meas = depth[vi, ui]
+    lab = label_img[vi, ui]
+    in_view = (z > 1e-2) & (u >= 0) & (u < W) & (v >= 0) & (v < H) \
+        & (meas > 0)
+    sdf = meas - z
+    update = in_view & (sdf > -grid.trunc)
+    sdf_c = jnp.clip(sdf, -grid.trunc, grid.trunc)
+    w_new = jnp.where(update, 1.0, 0.0)
+    w_tot = grid.weight + w_new
+    tsdf = jnp.where(
+        update,
+        (grid.tsdf * grid.weight + sdf_c * w_new)
+        / jnp.maximum(w_tot, 1e-6),
+        grid.tsdf,
+    )
+    # semantics: histogram update for near-surface voxels only
+    near = update & (jnp.abs(sdf) < grid.trunc * 0.5)
+    C = grid.sem_hist.shape[-1]
+    onehot = jax.nn.one_hot(jnp.clip(lab, 0, C - 1), C)
+    hist = grid.sem_hist + onehot * near[..., None]
+    return grid._replace(tsdf=tsdf, weight=w_tot, sem_hist=hist)
+
+
+def extract_surface(grid: TsdfGrid, max_vertices: int = 8192):
+    """Zero-crossing surface extraction: one vertex per sign-change voxel
+    (sub-voxel positioned along the gradient), with normals and hardened
+    semantic labels. Returns (verts (M, 3), normals (M, 3), labels (M,),
+    valid (M,))."""
+    t = grid.tsdf
+    w = grid.weight
+    observed = w > 0
+    # gradient via central differences
+    gx = (jnp.roll(t, -1, 0) - jnp.roll(t, 1, 0)) * 0.5
+    gy = (jnp.roll(t, -1, 1) - jnp.roll(t, 1, 1)) * 0.5
+    gz = (jnp.roll(t, -1, 2) - jnp.roll(t, 1, 2)) * 0.5
+    grad = jnp.stack([gx, gy, gz], -1)
+    gn = jnp.sqrt(jnp.sum(grad * grad, -1) + 1e-12)
+    # sign change against +x/+y/+z neighbors
+    sc = ((t * jnp.roll(t, -1, 0) < 0)
+          | (t * jnp.roll(t, -1, 1) < 0)
+          | (t * jnp.roll(t, -1, 2) < 0))
+    surf = sc & observed & (jnp.abs(t) < grid.trunc)
+    X, Y, Z = t.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 2)
+    centers = (jnp.stack([ii, jj, kk], -1).astype(jnp.float32) + 0.5) \
+        * grid.voxel_size + grid.origin
+    # sub-voxel: step along the normal by -tsdf/|grad| (in voxels)
+    step = -(t / jnp.maximum(gn, 1e-6))[..., None] * (grad / gn[..., None])
+    verts_all = centers + step * grid.voxel_size
+    score = jnp.where(surf, 1.0 / (1.0 + jnp.abs(t)), 0.0).reshape(-1)
+    top, idx = jax.lax.top_k(score, max_vertices)
+    valid = top > 0
+    flat_v = verts_all.reshape(-1, 3)[idx]
+    normals = (grad / gn[..., None]).reshape(-1, 3)[idx]
+    labels = jnp.argmax(grid.sem_hist, -1).reshape(-1)[idx]
+    return flat_v, normals, labels.astype(jnp.int32), valid

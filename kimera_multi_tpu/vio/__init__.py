@@ -1,1 +1,1 @@
-from . import imu, pipeline, smoother, tracking  # noqa: F401
+from . import imu, pipeline, smoother, tracking, undistort  # noqa: F401

@@ -177,3 +177,44 @@ def test_hamming_top2_pallas_matches_xla():
     assert np.array_equal(np.asarray(d2).astype(int), Ds[:, 1])
     # index can differ on ties; check distance at claimed index
     assert np.array_equal(D[np.arange(128), np.asarray(i1)], ref_d1)
+
+
+def test_epnp_exact():
+    rng = np.random.default_rng(7)
+    from kimera_multi_tpu.kernels import minimal
+    w_gt = np.array([0.2, -0.4, 0.1], np.float32)
+    R_gt = np.asarray(lie.so3_exp(jnp.asarray(w_gt)))
+    t_gt = np.array([0.3, -0.5, 0.8], np.float32)
+    X = rng.uniform(-2, 2, (12, 3)).astype(np.float32)
+    pc = np.einsum("ij,kj->ki", R_gt, X) + t_gt
+    pc[:, 2] += 6.0  # keep in front
+    t_gt2 = t_gt + np.array([0, 0, 6.0], np.float32)
+    f = pc / np.linalg.norm(pc, axis=1, keepdims=True)
+    R, t, ok = minimal.epnp(jnp.asarray(X)[None], jnp.asarray(f)[None])
+    assert bool(np.asarray(ok)[0])
+    assert np.allclose(np.asarray(R)[0], R_gt, atol=5e-3)
+    assert np.allclose(np.asarray(t)[0], t_gt2, atol=2e-2)
+
+
+def test_ransac_pnp_outliers():
+    rng = np.random.default_rng(8)
+    K = 96
+    R_gt = np.asarray(lie.so3_exp(jnp.asarray([0.1, 0.3, -0.2], jnp.float32)))
+    t_gt = np.array([0.5, 0.2, 5.0], np.float32)
+    X = rng.uniform(-3, 3, (K, 3)).astype(np.float32)
+    pc = np.einsum("ij,kj->ki", R_gt, X) + t_gt
+    f = pc / np.linalg.norm(pc, axis=1, keepdims=True)
+    out_idx = rng.choice(K, 25, replace=False)
+    g = rng.normal(size=(25, 3)).astype(np.float32)
+    g[:, 2] = np.abs(g[:, 2]) + 1
+    f[out_idx] = g / np.linalg.norm(g, axis=1, keepdims=True)
+    key = rngmod.base_key(21)
+    out = jax.jit(ransac.ransac_pnp)(key, jnp.asarray(X), jnp.asarray(f),
+                                     jnp.ones(K, bool))
+    assert bool(out["ok"])
+    got = np.asarray(out["inliers"])
+    true_inl = np.ones(K, bool); true_inl[out_idx] = False
+    assert got[true_inl].mean() > 0.9
+    assert got[~true_inl].mean() < 0.15
+    assert np.allclose(np.asarray(out["R"]), R_gt, atol=0.02)
+    assert np.allclose(np.asarray(out["t"]), t_gt, atol=0.1)
