@@ -111,13 +111,15 @@ def run_sim(args):
                                         burnin_rounds=8)
         state = rounds.init_state(m, Y0, jnp.ones(args.robots, bool), edges,
                                   args.steps, init_weights=w0)
+        comm_bytes = rounds.round_comm_bytes(Y0.shape, rcfg.inner_iters)
         dpgo_rows = []
         for i in range(args.gnc_rounds):
             t0 = time.time()
             state, cost = round_fn(state)
             dpgo_rows.append(dict(
                 robot_id=0, instance=0, iteration=i,
-                num_poses=args.robots * args.steps, bytes_received=0,
+                num_poses=args.robots * args.steps,
+                bytes_received=comm_bytes * (i + 1),
                 iteration_time_sec=time.time() - t0,
                 total_time_sec=time.time() - t_start,
                 rel_change=0.0, func_decrease=float(cost), grad_norm=0.0,

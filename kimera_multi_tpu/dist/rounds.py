@@ -140,6 +140,19 @@ def make_round_fn(
     return round_fn
 
 
+def round_comm_bytes(Y_shape, inner_iters: int) -> int:
+    """Per-robot bytes received per round over the collective schedule —
+    the observability counterpart of dpgo_ros's `mTotalBytesReceived`
+    (drawio:2355). Per inner cycle each shard gathers the other shards'
+    blocks (Y), active flags, and proposed deltas; plus the final cost
+    gather."""
+    R, N, r, dp1 = Y_shape
+    block = N * r * dp1 * 4  # f32
+    per_cycle = (R - 1) * (2 * block + 1)  # Y gather + delta gather + active
+    final = (R - 1) * block
+    return inner_iters * per_cycle + final
+
+
 def init_state(
     mesh,
     Y0: jnp.ndarray,

@@ -1,1 +1,1 @@
-from . import bow_db, lcd, submap, vocab  # noqa: F401
+from . import bow_db, dlc, lcd, submap, tf_correction, vocab  # noqa: F401

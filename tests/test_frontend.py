@@ -133,3 +133,23 @@ def test_submap_coarsening_roundtrip():
                                           jnp.asarray(0))
     assert np.allclose(np.asarray(R_exp), np.asarray(g.R_gt[:n]), atol=1e-4)
     assert np.allclose(np.asarray(t_exp), np.asarray(g.t_gt[:n]), atol=1e-3)
+
+
+def test_tf_correction():
+    from kimera_multi_tpu.frontend import tf_correction
+    npr = np.random.default_rng(12)
+    w = npr.normal(0, 0.5, (4, 3)).astype(np.float32)
+    R_odom = np.asarray(lie.so3_exp(jnp.asarray(w)))
+    t_odom = npr.normal(0, 2, (4, 3)).astype(np.float32)
+    # world = fixed transform of odom
+    Rg = np.asarray(lie.so3_exp(jnp.asarray([0.3, -0.1, 0.8], jnp.float32)))
+    tg = np.array([5.0, 1.0, -2.0], np.float32)
+    R_world = np.einsum("ij,kjl->kil", Rg, R_odom)
+    t_world = np.einsum("ij,kj->ki", Rg, t_odom) + tg
+    corr = tf_correction.world_to_odom_correction(
+        jnp.asarray(R_odom[2]), jnp.asarray(t_odom[2]),
+        jnp.asarray(R_world[2]), jnp.asarray(t_world[2]))
+    Rc, tc = tf_correction.apply_correction(
+        corr, jnp.asarray(R_odom), jnp.asarray(t_odom))
+    assert np.allclose(np.asarray(Rc), R_world, atol=1e-5)
+    assert np.allclose(np.asarray(tc), t_world, atol=1e-4)
