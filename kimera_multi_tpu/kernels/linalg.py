@@ -216,6 +216,45 @@ def smallest_eigvec_psd(N: jnp.ndarray, iters: int = 4,
     return v
 
 
+def smallest_eigvecs_psd(N: jnp.ndarray, m: int, iters: int = 4,
+                         shift_scale: float = 1e-7) -> jnp.ndarray:
+    """Orthonormal basis of the m-dimensional bottom eigenspace of a
+    batched PSD matrix (..., n, n): block inverse iteration with unrolled
+    Cholesky solves and modified Gram-Schmidt re-orthonormalization.
+    Returns (..., n, m)."""
+    n = N.shape[-1]
+    tr = jnp.trace(N, axis1=-2, axis2=-1)
+    shift = (shift_scale * tr / n + 1e-12)[..., None, None]
+    A = N + shift * jnp.eye(n, dtype=N.dtype)
+    L = cholesky_unrolled(A)
+    # deterministic init: unit vectors at the m smallest diagonal entries
+    d = jnp.diagonal(N, axis1=-2, axis2=-1)
+    order = jnp.argsort(d, axis=-1)[..., :m]  # (..., m)
+    V = jax.nn.one_hot(order, n, dtype=N.dtype)  # (..., m, n)
+    V = jnp.swapaxes(V, -1, -2) + 0.05  # (..., n, m)
+
+    def mgs(V):
+        cols = []
+        for j in range(m):
+            v = V[..., :, j]
+            for c in cols:
+                v = v - jnp.sum(v * c, axis=-1, keepdims=True) * c
+            v = v / jnp.maximum(
+                jnp.linalg.norm(v, axis=-1, keepdims=True), _EPS)
+            cols.append(v)
+        return jnp.stack(cols, axis=-1)
+
+    V = mgs(V)
+    for _ in range(iters):
+        # solve A X = V column-wise with the unrolled triangular solves
+        cols = []
+        for j in range(m):
+            y = _tri_solve_unrolled(L, V[..., :, j], lower=True)
+            cols.append(_tri_solve_unrolled(L, y, lower=False))
+        V = mgs(jnp.stack(cols, axis=-1))
+    return V
+
+
 def polar_orthonormalize(M: jnp.ndarray) -> jnp.ndarray:
     """Closest orthonormal-column matrix to (..., r, 3): analytic polar
     factor M (M^T M)^{-1/2} via the closed-form 3x3 eigendecomposition —

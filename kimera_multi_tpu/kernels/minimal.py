@@ -4,11 +4,12 @@ TPU-native equivalents of the opengv solvers the reference selects
 (`params/D455/LcdParams.yaml:55-74`, `FrontendParams.yaml:75-88`):
   * 3d3d Arun alignment (`pose_recovery_type: 0`) — closed-form Procrustes
   * 3d3d 1-point with known rotation (`ransac_use_1point_3d3d: 1`)
-  * 2d2d essential matrix — the reference uses 5-pt Stewenius/Nister;
-    v1 ships the SVD-free normalized 8-point solver (fully batched,
-    TPU-friendly) with angular Sampson scoring. Exact 5-pt parity is a
-    planned follow-up (degree-10 polynomial via Sturm bisection) —
-    SURVEY.md section 7.4 "bit-equal inlier sets".
+  * 2d2d essential matrix — both the true five-point minimal solver
+    (`essential_5pt`: nullspace + multi-start Gauss-Newton on the
+    essential variety, matching the reference's Stewenius/Nister
+    sample-size semantics) and the 8-point least-squares solver
+    (`essential_8pt`, used for consensus refits and as a cheaper
+    hypothesis generator), with angular Sampson scoring.
 
 All solvers are closed-form, branchless, and vmap over a hypothesis axis.
 Inputs use fixed-capacity correspondence arrays with validity masks.
@@ -16,6 +17,7 @@ Inputs use fixed-capacity correspondence arrays with validity masks.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .linalg import eigh3x3, smallest_eigvec_psd, so3_procrustes
@@ -105,6 +107,137 @@ def essential_8pt(f1: jnp.ndarray, f2: jnp.ndarray, w: jnp.ndarray | None = None
 
 def _unit(v):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), _EPS)
+
+
+# ---------------------------------------------------------------------------
+# 2d2d: five-point minimal solver (reference `ransac_2d2d_algorithm: 0
+# Stewenius` for LCD / `1 Nister` for the frontend,
+# params/D455/LcdParams.yaml:73, FrontendParams.yaml:78)
+# ---------------------------------------------------------------------------
+
+# deterministic multi-start directions on S^3 (coefficients of the
+# nullspace combination); chosen to spread over the sphere
+_FIVEPT_STARTS = jnp.asarray(
+    [
+        [1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1],
+        [1, 1, 1, 1], [1, -1, 1, -1], [1, 1, -1, -1], [1, -1, -1, 1],
+        [2, 1, 0, -1], [-1, 2, 1, 0], [0, -1, 2, 1], [1, 0, -1, 2],
+        [1, 2, -2, 1], [-2, 1, 1, 2], [1, -2, 1, 2], [2, 2, 1, -1],
+    ],
+    jnp.float32,
+)
+_FIVEPT_STARTS = _FIVEPT_STARTS / jnp.linalg.norm(
+    _FIVEPT_STARTS, axis=1, keepdims=True)
+
+
+def _essential_constraints(E: jnp.ndarray) -> jnp.ndarray:
+    """The 10 polynomial constraints of an essential matrix: det(E) = 0
+    and 2 E E^T E - tr(E E^T) E = 0. E (..., 3, 3) -> (..., 10)."""
+    EEt = E @ jnp.swapaxes(E, -1, -2)
+    tr = EEt[..., 0, 0] + EEt[..., 1, 1] + EEt[..., 2, 2]
+    C = 2.0 * EEt @ E - tr[..., None, None] * E
+    d = jnp.linalg.det(E)
+    return jnp.concatenate(
+        [d[..., None], C.reshape(*C.shape[:-2], 9)], axis=-1)
+
+
+def essential_5pt(f1: jnp.ndarray, f2: jnp.ndarray, n_starts: int = 8):
+    """Five-point essential matrix solver, TPU-native.
+
+    Role of opengv's Nister/Stewenius 5-pt (the reference's configured
+    minimal solver). Same algebra: the 4-dimensional nullspace of the
+    5-correspondence epipolar design is intersected with the essential
+    variety (det + trace constraints). Deviation (documented,
+    COMPONENTS.md): instead of Nister's degree-10 polynomial elimination
+    (serial root finding), the cubic system is solved by multi-start
+    Gauss-Newton on S^3 — `n_starts` deterministic starts polished in
+    parallel, each landing on one of the <= 10 real roots; all candidates
+    are returned and RANSAC scoring picks the best, exactly as Nister's
+    multiple roots are all scored by opengv.
+
+    f1, f2: (..., 5, 3) unit bearings. Returns (E (..., n_starts, 3, 3),
+    ok (...,)).
+    """
+    from .linalg import cholesky_unrolled, smallest_eigvecs_psd
+
+    # nullspace basis: 4 smallest eigvecs of the 9x9 normal matrix
+    rows = (f2[..., :, :, None] * f1[..., :, None, :]).reshape(
+        *f1.shape[:-2], f1.shape[-2], 9)
+    N = jnp.einsum("...ki,...kj->...ij", rows, rows)
+    basis = smallest_eigvecs_psd(N, 4)  # (..., 9, 4)
+    ok = jnp.ones(N.shape[:-2], bool)
+
+    Ebasis = jnp.swapaxes(basis, -1, -2).reshape(
+        *basis.shape[:-2], 4, 3, 3)  # (..., 4, 3, 3)
+
+    def make_E(q):
+        return jnp.einsum("...s,...sij->...ij", q, Ebasis)
+
+    def resid(q):
+        E = make_E(q)
+        r = _essential_constraints(E)
+        return r  # (..., 10)
+
+    def polish(q):
+        # Gauss-Newton on the sphere: the constraint system is homogeneous
+        # (r(lam q) = lam^3 r(q)), so the radial direction is a gauge —
+        # project it out of both J and the step, cap the step (trust
+        # region), renormalize. All starts then converge to true roots.
+        from .linalg import _tri_solve_unrolled
+
+        def gn(_, q):
+            r = resid(q)
+            eye4 = jnp.eye(4, dtype=q.dtype)
+            Jcols = jnp.stack(
+                [jax.jvp(resid, (q,),
+                         (jnp.broadcast_to(eye4[i], q.shape),))[1]
+                 for i in range(4)],
+                axis=-1,
+            )  # (..., 10, 4)
+            Jcols = Jcols - jnp.einsum(
+                "...ki,...i,...j->...kj", Jcols, q, q)
+            JtJ = jnp.einsum("...ki,...kj->...ij", Jcols, Jcols)
+            g = jnp.einsum("...ki,...k->...i", Jcols, r)
+            L = cholesky_unrolled(JtJ + 1e-6 * jnp.eye(4, dtype=q.dtype))
+            y = _tri_solve_unrolled(L, -g, lower=True)
+            dq = _tri_solve_unrolled(L, y, lower=False)
+            dq = dq - jnp.sum(dq * q, axis=-1, keepdims=True) * q
+            n = jnp.linalg.norm(dq, axis=-1, keepdims=True)
+            dq = dq * jnp.minimum(1.0, 0.4 / jnp.maximum(n, _EPS))
+            q = q + dq
+            return q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+
+        return jax.lax.fori_loop(0, 40, gn, q)
+
+    starts = _FIVEPT_STARTS[:n_starts]
+    # broadcast starts over the batch: (..., n_starts, 4)
+    q0 = jnp.broadcast_to(starts, f1.shape[:-2] + starts.shape)
+
+    def per_start(q):
+        qp = polish(q)
+        E = make_E(qp)
+        # project to the essential manifold (exact rank/singular structure)
+        Ep, okp = _project_essential(E)
+        return Ep
+
+    E_all = jax.vmap(per_start, in_axes=-2, out_axes=-3)(q0)
+    return E_all, ok
+
+
+def _project_essential(E: jnp.ndarray):
+    """Project (..., 3, 3) onto the essential manifold (two equal singular
+    values, one zero) using the analytic primitives."""
+    A = jnp.swapaxes(E, -1, -2) @ E
+    s2, V = eigh3x3(A)
+    s = jnp.sqrt(jnp.maximum(s2, 0.0))
+    v1, v2 = V[..., :, 0], V[..., :, 1]
+    u1 = _unit(jnp.einsum("...ij,...j->...i", E, v1))
+    u2r = jnp.einsum("...ij,...j->...i", E, v2)
+    u2 = _unit(u2r - jnp.sum(u2r * u1, axis=-1, keepdims=True) * u1)
+    Ep = u1[..., :, None] * v1[..., None, :] + u2[..., :, None] * v2[..., None, :]
+    ok = s[..., 1] > 1e-6 * jnp.maximum(s[..., 0], _EPS)
+    return Ep, ok
 
 
 # ---------------------------------------------------------------------------

@@ -197,6 +197,45 @@ def ransac_pnp(
     }
 
 
+def ransac_essential_5pt(
+    key,
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    valid: jnp.ndarray,
+    threshold: float = 1e-6,
+    n_hyp: int = 200,
+    min_inliers: int = 10,
+    n_starts: int = 8,
+):
+    """2d2d monocular RANSAC with the true 5-point minimal solver
+    (reference `ransac_2d2d_algorithm: 0/1` — Stewenius/Nister). Each
+    minimal sample yields up to `n_starts` essential-matrix candidates
+    (the solver's multiple roots); all are scored, as opengv does."""
+    idx = _masked_sample(key, valid, n_hyp, 5)
+    E_h, ok_h = minimal.essential_5pt(f1[idx], f2[idx], n_starts=n_starts)
+    # (H, S, 3, 3) -> flatten models
+    H, S = E_h.shape[0], E_h.shape[1]
+    E_flat = E_h.reshape(H * S, 3, 3)
+    err = minimal.sampson_error(E_flat, f1[None], f2[None])  # (H*S, K)
+    inl = (err < threshold) & valid[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    best_inl = inl[best]
+    # refine on consensus with the (weighted) 8-point least squares
+    E_r, ok_r = minimal.essential_8pt(f1, f2, best_inl.astype(f1.dtype))
+    use = ok_r & (jnp.sum(best_inl) >= 8)
+    E_b = jnp.where(use, E_r, E_flat[best])
+    err_b = minimal.sampson_error(E_b, f1, f2)
+    best_inl = (err_b < threshold) & valid
+    n_inl = jnp.sum(best_inl).astype(jnp.int32)
+    return {
+        "E": E_b,
+        "inliers": best_inl,
+        "n_inliers": n_inl,
+        "ok": n_inl >= min_inliers,
+    }
+
+
 def ransac_essential(
     key,
     f1: jnp.ndarray,

@@ -218,3 +218,64 @@ def test_ransac_pnp_outliers():
     assert got[~true_inl].mean() < 0.15
     assert np.allclose(np.asarray(out["R"]), R_gt, atol=0.02)
     assert np.allclose(np.asarray(out["t"]), t_gt, atol=0.1)
+
+
+def test_essential_5pt_minimal():
+    """5-point solver finds the true essential matrix among its candidate
+    roots on clean minimal samples."""
+    from kimera_multi_tpu.kernels import minimal
+    rng = np.random.default_rng(9)
+    hits = 0
+    B = 24
+    f1s, f2s, Es = [], [], []
+    for _ in range(B):
+        w = rng.normal(0, 0.3, 3).astype(np.float32)
+        R = np.asarray(lie.so3_exp(jnp.asarray(w)))
+        t = rng.normal(0, 1, 3).astype(np.float32)
+        t /= np.linalg.norm(t)
+        P = rng.uniform(-2, 2, (5, 3)).astype(np.float32)
+        P[:, 2] += 5
+        f1 = P / np.linalg.norm(P, axis=1, keepdims=True)
+        P2 = np.einsum("ij,kj->ki", R, P) + t
+        f2 = P2 / np.linalg.norm(P2, axis=1, keepdims=True)
+        tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]],
+                       [-t[1], t[0], 0]], np.float32)
+        E_gt = tx @ R
+        f1s.append(f1); f2s.append(f2); Es.append(E_gt / np.linalg.norm(E_gt))
+    E_all, ok = minimal.essential_5pt(jnp.asarray(np.stack(f1s)),
+                                      jnp.asarray(np.stack(f2s)))
+    E_all = np.asarray(E_all)  # (B, S, 3, 3)
+    for b in range(B):
+        best = 0.0
+        for s in range(E_all.shape[1]):
+            Ec = E_all[b, s] / max(np.linalg.norm(E_all[b, s]), 1e-12)
+            best = max(best, abs(float(np.sum(Ec * Es[b]))))
+        if best > 0.999:
+            hits += 1
+    # multi-start polishing finds the true root in the vast majority of
+    # samples; RANSAC needs only a decent per-sample hit rate
+    assert hits >= 0.8 * B, hits
+
+
+def test_ransac_essential_5pt_outliers():
+    rng = np.random.default_rng(10)
+    K = 96
+    R = np.asarray(lie.so3_exp(jnp.asarray([0.1, 0.05, -0.2], jnp.float32)))
+    t = np.array([0.5, 0.1, 0.2], np.float32)
+    P = rng.uniform(-2, 2, size=(K, 3)).astype(np.float32)
+    P[:, 2] += 5.0
+    f1 = P / np.linalg.norm(P, axis=1, keepdims=True)
+    P2 = np.einsum("ij,kj->ki", R, P) + t
+    f2 = P2 / np.linalg.norm(P2, axis=1, keepdims=True)
+    out_idx = rng.choice(K, 30, replace=False)
+    g = rng.normal(size=(30, 3)).astype(np.float32)
+    f2[out_idx] = g / np.linalg.norm(g, axis=1, keepdims=True)
+    key = rngmod.derive(rngmod.base_key(3), rngmod.Stream.RANSAC_MONO)
+    fn = jax.jit(lambda k, a, b, v: ransac.ransac_essential_5pt(
+        k, a, b, v, n_hyp=64))
+    out = fn(key, jnp.asarray(f1), jnp.asarray(f2), jnp.ones(K, bool))
+    assert bool(out["ok"])
+    got = np.asarray(out["inliers"])
+    true_inl = np.ones(K, bool); true_inl[out_idx] = False
+    assert got[true_inl].mean() > 0.9
+    assert got[~true_inl].mean() < 0.1
