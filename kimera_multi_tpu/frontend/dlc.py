@@ -53,6 +53,7 @@ class FrontendConfig(NamedTuple):
     kappa_odo: float = 1e4
     tau_odo: float = 1e2
     min_intra_separation: int = 10  # skip near-diagonal self matches
+    use_5pt: bool = False  # True: 5-pt minimal solver for the mono gate
     base_seed: int = 0
 
 
@@ -115,7 +116,9 @@ class DistributedFrontend:
             matched = m >= 0
             idx = jnp.maximum(m, 0)
             kmono = rngmod.derive(key, rngmod.Stream.RANSAC_MONO)
-            mono = ransac.ransac_essential(
+            mono_fn = (ransac.ransac_essential_5pt if cfg.use_5pt
+                       else ransac.ransac_essential)
+            mono = mono_fn(
                 kmono, bear_q, bear_m[idx], matched,
                 threshold=cfg.mono_threshold, n_hyp=cfg.ransac_hyp,
                 min_inliers=cfg.min_mono_inliers)
