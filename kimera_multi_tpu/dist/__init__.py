@@ -1,1 +1,1 @@
-from . import checkpoint, fault, mesh, rounds  # noqa: F401
+from . import chain, checkpoint, fault, mesh, rounds, sharded_verify  # noqa: F401

@@ -1,0 +1,95 @@
+"""Intra-robot tensor parallelism: RANSAC hypothesis sharding.
+
+SURVEY.md section 2.3 row 7 — the workload's "TP": shard the per-candidate
+RANSAC hypothesis batch across the chips of a robot's sub-mesh
+(mesh SHARD_AXIS). Each shard solves and scores its slice of the
+hypothesis table; the winning model is selected with one small all_gather;
+the consensus refit is replicated. The hypothesis table itself is
+generated identically on every shard and sliced, so results are BITWISE
+EQUAL to the single-chip path (asserted in tests) — sharding changes
+wall-clock, never answers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..kernels import minimal, ransac
+from .mesh import SHARD_AXIS
+
+
+def make_sharded_arun(mesh, n_hyp: int = 512, threshold: float = 0.3,
+                      min_inliers: int = 5):
+    """Builds a jitted sharded 3d3d RANSAC with reference semantics.
+
+    n_hyp must be divisible by the shard-axis size.
+    """
+    n_shards = mesh.shape[SHARD_AXIS]
+    assert n_hyp % n_shards == 0, (n_hyp, n_shards)
+    h_local = n_hyp // n_shards
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def _run(key, p, q, valid):
+        # identical full hypothesis table on every shard, then slice
+        idx_full = ransac._masked_sample(key, valid, n_hyp, 3)
+        s = jax.lax.axis_index(SHARD_AXIS)
+        idx = jax.lax.dynamic_slice_in_dim(idx_full, s * h_local, h_local)
+        R_h, t_h, ok_h = minimal.arun_3d3d(p[idx], q[idx])
+        srt = jnp.sort(idx, axis=1)
+        distinct = jnp.all(srt[:, 1:] != srt[:, :-1], axis=1)
+        ok_h = ok_h & distinct
+        resid = q[None, :, :] - (
+            jnp.einsum("hij,kj->hki", R_h, p) + t_h[:, None, :])
+        d2 = jnp.sum(resid * resid, axis=-1)
+        inl = (d2 < threshold * threshold) & valid[None, :]
+        counts = jnp.sum(inl, axis=1) * ok_h
+        best_local = jnp.argmax(counts)
+        # gather per-shard winners; the global argmax ties broken by shard
+        # order to match the single-device argmax over the full table
+        cand = jnp.concatenate([
+            counts[best_local][None].astype(jnp.float32),
+            (s * h_local + best_local)[None].astype(jnp.float32),
+            R_h[best_local].reshape(9),
+            t_h[best_local],
+        ])  # (14,)
+        allc = jax.lax.all_gather(cand, SHARD_AXIS, axis=0)  # (S, 14)
+        # single-device argmax picks the FIRST max in table order: emulate
+        # by preferring lower global hypothesis index on count ties
+        cnts = allc[:, 0]
+        gidx = allc[:, 1]
+        keyed = cnts - gidx * 1e-9
+        w = jnp.argmax(keyed)
+        R_b = allc[w, 2:11].reshape(3, 3)
+        t_b = allc[w, 11:14]
+        # replicated consensus refit (identical on all shards)
+        resid_b = q - (jnp.einsum("ij,kj->ki", R_b, p) + t_b)
+        best_inl = (jnp.sum(resid_b * resid_b, -1) < threshold * threshold) \
+            & valid
+        R_r, t_r, ok_r = minimal.arun_3d3d(p, q, best_inl.astype(p.dtype))
+        use = ok_r & (jnp.sum(best_inl) >= 3)
+        R_b = jnp.where(use, R_r, R_b)
+        t_b = jnp.where(use, t_r, t_b)
+        resid_b = q - (jnp.einsum("ij,kj->ki", R_b, p) + t_b)
+        best_inl = (jnp.sum(resid_b * resid_b, -1) < threshold * threshold) \
+            & valid
+        n_inl = jnp.sum(best_inl).astype(jnp.int32)
+        return R_b, t_b, best_inl, n_inl
+
+    @jax.jit
+    def run(key, p, q, valid):
+        R, t, inl, n = _run(key, p, q, valid)
+        return {"R": R, "t": t, "inliers": inl, "n_inliers": n,
+                "ok": n >= min_inliers}
+
+    return run

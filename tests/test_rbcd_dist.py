@@ -110,3 +110,75 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(s1.Y), np.asarray(s2.Y))
     np.testing.assert_array_equal(np.asarray(s1.gnc_state.weights),
                                   np.asarray(s2.gnc_state.weights))
+
+
+def test_sharded_hypothesis_ransac_matches_single_device():
+    """SURVEY 2.3 row 7: hypothesis-sharded RANSAC == single-chip result."""
+    from kimera_multi_tpu.dist import sharded_verify
+    from kimera_multi_tpu.kernels import ransac
+    from kimera_multi_tpu.core import lie, rng as rngmod
+
+    rng = np.random.default_rng(13)
+    K = 128
+    R_gt = np.asarray(lie.so3_exp(jnp.asarray([0.2, -0.1, 0.4], jnp.float32)))
+    t_gt = np.array([1.0, 0.5, -0.2], np.float32)
+    p = rng.uniform(-4, 4, (K, 3)).astype(np.float32)
+    q = np.einsum("ij,kj->ki", R_gt, p) + t_gt
+    q += rng.normal(0, 0.01, (K, 3)).astype(np.float32)
+    out_idx = rng.choice(K, 30, replace=False)
+    q[out_idx] += rng.uniform(2, 8, (30, 3)).astype(np.float32)
+    valid = np.ones(K, bool)
+    key = rngmod.derive(rngmod.base_key(5), rngmod.Stream.RANSAC_STEREO)
+
+    # single-device with the same hypothesis count
+    single = jax.jit(lambda k, a, b, v: ransac.ransac_arun(
+        k, a, b, v, n_hyp=512))(key, jnp.asarray(p), jnp.asarray(q),
+                                jnp.asarray(valid))
+
+    # sharded over a 1-robot x 4-shard mesh
+    m = mesh_mod.robot_mesh(1, intra=4)
+    fn = sharded_verify.make_sharded_arun(m, n_hyp=512)
+    sharded = fn(key, jnp.asarray(p), jnp.asarray(q), jnp.asarray(valid))
+
+    assert int(single["n_inliers"]) == int(sharded["n_inliers"])
+    np.testing.assert_array_equal(np.asarray(single["inliers"]),
+                                  np.asarray(sharded["inliers"]))
+    np.testing.assert_allclose(np.asarray(single["R"]),
+                               np.asarray(sharded["R"]), atol=1e-6)
+
+
+def test_chain_sequence_parallel_solve():
+    """SURVEY 2.3 row 8: chain-sharded halo-exchange CG == dense lstsq."""
+    from kimera_multi_tpu.dist import chain as chain_mod
+
+    rng = np.random.default_rng(17)
+    N = 64
+    t_gt = np.cumsum(rng.normal(0, 0.5, (N, 3)), axis=0).astype(np.float32)
+    t_gt -= t_gt[0]
+    d_chain = np.zeros((N, 3), np.float32)
+    d_chain[:-1] = t_gt[1:] - t_gt[:-1]
+    d_chain[:-1] += rng.normal(0, 0.01, (N - 1, 3)).astype(np.float32)
+    # loop closures between distant poses
+    C = 8
+    lc_src = np.full(C, -1, np.int32)
+    lc_dst = np.zeros(C, np.int32)
+    lc_d = np.zeros((C, 3), np.float32)
+    lc_w = np.zeros(C, np.float32)
+    for e in range(5):
+        i, j = rng.integers(0, N, 2)
+        if i == j:
+            continue
+        lc_src[e], lc_dst[e] = min(i, j), max(i, j)
+        lc_d[e] = t_gt[lc_dst[e]] - t_gt[lc_src[e]]
+        lc_w[e] = 4.0
+
+    m = mesh_mod.robot_mesh(1, intra=4)
+    solver = chain_mod.make_chain_translation_solver(m, N, C, cg_iters=200)
+    t_sharded = np.asarray(solver(jnp.asarray(d_chain), jnp.asarray(lc_src),
+                                  jnp.asarray(lc_dst), jnp.asarray(lc_d),
+                                  jnp.asarray(lc_w)))
+    t_ref = chain_mod.chain_translation_reference(
+        N, d_chain, lc_src, lc_dst, lc_d, lc_w)
+    assert np.abs(t_sharded - t_ref).max() < 1e-3
+    # and both near ground truth
+    assert np.abs(t_sharded - t_gt).max() < 0.1
