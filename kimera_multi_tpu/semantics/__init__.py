@@ -1,1 +1,1 @@
-from . import mesh_io, tsdf  # noqa: F401
+from . import marching, mesh_io, tsdf  # noqa: F401

@@ -66,3 +66,37 @@ def test_depth_binning():
     assert np.asarray(lab)[16, 16] == 1
     # second point at u = 20*0.125+16 = 18.5 -> 18
     assert abs(d[16, 18] - 4.0) < 1e-5
+
+
+def test_marching_tetrahedra_plane(tmp_path):
+    from kimera_multi_tpu.semantics import marching
+
+    H, W = 48, 64
+    fx = fy = 40.0
+    cx, cy = W / 2, H / 2
+    grid = tsdf.make_grid((32, 32, 16), origin=(-2.0, -2.0, -1.0),
+                          voxel_size=0.125, trunc=0.3)
+    R_wc = jnp.asarray([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+    for t_wc in [jnp.asarray([x, y, 2.0]) for x in (-0.5, 0.5)
+                 for y in (-0.5, 0.5)]:
+        depth = np.full((H, W), 2.0, np.float32)
+        labels = np.full((H, W), 3, np.int32)
+        grid = tsdf.integrate(grid, jnp.asarray(depth), jnp.asarray(labels),
+                              R_wc, t_wc, fx, fy, cx, cy)
+    tris, valid = marching.marching_tetrahedra(grid)
+    v = np.asarray(valid)
+    assert v.sum() > 100
+    T = np.asarray(tris)[v]
+    # all triangle vertices on the z=0 plane (within a voxel)
+    assert np.abs(T[..., 2]).max() < 0.13
+    # total area covers a decent part of the observed patch
+    e1 = T[:, 1] - T[:, 0]
+    e2 = T[:, 2] - T[:, 0]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1).sum()
+    assert area > 1.0
+    # PLY triangle output
+    p = str(tmp_path / "mesh_tris.ply")
+    n = marching.write_ply_triangles(p, tris, valid)
+    assert n == v.sum()
+    head = open(p).read(200)
+    assert f"element face {n}" in head
