@@ -64,28 +64,30 @@ def eigh3x3(A: jnp.ndarray):
 
 def _eigvec(A: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     """Eigenvector of symmetric 3x3 for eigenvalue lam: the largest cross
-    product of two rows of (A - lam I) is orthogonal to both -> eigvec."""
+    product of two rows of (A - lam I) is orthogonal to both -> eigvec.
+
+    Selection is branchless `where` arithmetic — argmax + take_along_axis
+    gathers dominate the whole RANSAC pipeline on TPU otherwise."""
     M = A - lam[..., None, None] * jnp.eye(3, dtype=A.dtype)
     r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
     c01 = jnp.cross(r0, r1)
     c02 = jnp.cross(r0, r2)
     c12 = jnp.cross(r1, r2)
-    n01 = jnp.sum(c01 * c01, axis=-1)
-    n02 = jnp.sum(c02 * c02, axis=-1)
-    n12 = jnp.sum(c12 * c12, axis=-1)
-    best = jnp.argmax(jnp.stack([n01, n02, n12], axis=-1), axis=-1)
-    cands = jnp.stack([c01, c02, c12], axis=-2)
-    v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, axis=-1), axis=-2)[
-        ..., 0, :
-    ]
+    n01 = jnp.sum(c01 * c01, axis=-1, keepdims=True)
+    n02 = jnp.sum(c02 * c02, axis=-1, keepdims=True)
+    n12 = jnp.sum(c12 * c12, axis=-1, keepdims=True)
+    use01 = (n01 >= n02) & (n01 >= n12)
+    use02 = (~use01) & (n02 >= n12)
+    v = jnp.where(use01, c01, jnp.where(use02, c02, c12))
     n = jnp.linalg.norm(v, axis=-1, keepdims=True)
     # Rank-deficient M (repeated eigenvalue): fall back to any unit vector
     # orthogonal to the largest row of M.
-    rows = jnp.stack([r0, r1, r2], axis=-2)
-    rn = jnp.linalg.norm(rows, axis=-1)
-    big_row = jnp.take_along_axis(
-        rows, jnp.argmax(rn, axis=-1)[..., None, None].repeat(3, axis=-1), axis=-2
-    )[..., 0, :]
+    l0 = jnp.sum(r0 * r0, axis=-1, keepdims=True)
+    l1 = jnp.sum(r1 * r1, axis=-1, keepdims=True)
+    l2 = jnp.sum(r2 * r2, axis=-1, keepdims=True)
+    r01 = (l0 >= l1) & (l0 >= l2)
+    r02 = (~r01) & (l1 >= l2)
+    big_row = jnp.where(r01, r0, jnp.where(r02, r1, r2))
     fb = _any_orthogonal(_safe_unit(big_row))
     return jnp.where(n > 1e-9, v / jnp.maximum(n, _EPS), fb)
 
@@ -97,16 +99,16 @@ def _safe_unit(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def _any_orthogonal(u: jnp.ndarray) -> jnp.ndarray:
-    """A unit vector orthogonal to unit vector u, branchless."""
-    # Pick the basis vector least aligned with u, orthogonalize.
-    absu = jnp.abs(u)
-    k = jnp.argmin(absu, axis=-1)
-    e = jnp.zeros_like(u)
-    e = jnp.take_along_axis(
-        jnp.broadcast_to(jnp.eye(3, dtype=u.dtype), u.shape[:-1] + (3, 3)),
-        k[..., None, None].repeat(3, axis=-1),
-        axis=-2,
-    )[..., 0, :]
+    """A unit vector orthogonal to unit vector u, branchless (no gathers)."""
+    ax = jnp.abs(u[..., 0:1])
+    ay = jnp.abs(u[..., 1:2])
+    az = jnp.abs(u[..., 2:3])
+    use_x = (ax <= ay) & (ax <= az)
+    use_y = (~use_x) & (ay <= az)
+    ex = jnp.zeros_like(u).at[..., 0].set(1.0)
+    ey = jnp.zeros_like(u).at[..., 1].set(1.0)
+    ez = jnp.zeros_like(u).at[..., 2].set(1.0)
+    e = jnp.where(use_x, ex, jnp.where(use_y, ey, ez))
     v = jnp.cross(u, e)
     return _safe_unit(v)
 

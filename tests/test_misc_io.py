@@ -71,3 +71,34 @@ def test_trial_harness(tmp_path):
     for s in stats.values():
         assert s["n_trials"] == 2
         assert s["median"] < 0.5
+
+
+def test_live_monitor(tmp_path):
+    """evo_real_time equivalent: watches dumps, GCs, appends APE rows."""
+    import jax.numpy as jnp
+
+    from kimera_multi_tpu.cli import monitor
+    from kimera_multi_tpu.core import lie
+    from kimera_multi_tpu.io import logs
+
+    npr = np.random.default_rng(0)
+    n = 30
+    ts = np.arange(n) * 0.5
+    t = np.cumsum(npr.normal(0, 0.1, (n, 3)), 0).astype(np.float32)
+    q = np.asarray(lie.rot_to_quat(jnp.broadcast_to(jnp.eye(3), (n, 3, 3))))
+    gt_path = str(tmp_path / "gt0.tum")
+    logs.write_tum(gt_path, ts, t, q)
+    rdir = tmp_path / "robot0" / "distributed"
+    rdir.mkdir(parents=True)
+    # three successive dumps
+    for k in range(3):
+        logs.write_tum(str(rdir / f"kimera_distributed_poses_tum_{k}.tum"),
+                       ts, t, q)
+    monitor.monitor(str(tmp_path), {0: gt_path}, interval=0.01,
+                    idle_exit=0.5, max_iters=1)
+    ape = logs.read_csv(str(tmp_path / "ape_robot0.csv"))
+    assert ape["rmse_trans"][-1] < 1e-4
+    # GC kept oldest + newest only
+    left = sorted(p.name for p in rdir.iterdir())
+    assert left == ["kimera_distributed_poses_tum_0.tum",
+                    "kimera_distributed_poses_tum_2.tum"]
