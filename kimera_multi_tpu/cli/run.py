@@ -36,6 +36,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-dir", default="/tmp/kimera_multi_tpu_logs")
     p.add_argument("--gnc-rounds", type=int, default=40)
+    p.add_argument("--artifacts", action="store_true",
+                   help="emit mesh PLY + HTML viewer (TSDF + deformation)")
     args = p.parse_args(argv)
 
     import jax
@@ -152,6 +154,8 @@ def run_sim(args):
 
     # ---- logs in the reference schema -------------------------------
     write_logs(args, world, fe, params, weights, dpgo_rows)
+    if args.artifacts:
+        write_artifacts(args, world, params)
 
 
 def write_logs(args, world, fe, params, weights, dpgo_rows):
@@ -224,6 +228,87 @@ def write_logs(args, world, fe, params, weights, dpgo_rows):
         print(f"[run] robot {r}: APE trans RMSE = {res.rmse_trans:.4f} m "
               f"(full {res.rmse_full:.4f})", file=sys.stderr)
     return results
+
+
+def write_artifacts(args, world, params):
+    """Metric-semantic mesh + viewer from the optimized run: per-keyframe
+    landmark clouds are deformed from the odometry frame into the
+    optimized world frame (kimera_pgmo role), TSDF-integrated, meshed
+    (marching tetrahedra), and written as PLY + HTML."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core import lie
+    from ..semantics import marching, mesh_io, tsdf
+    from ..solve import deformation as dfm
+
+    T = args.steps
+    grid = tsdf.make_grid((96, 96, 16), origin=(-12.0, -12.0, -1.0),
+                          voxel_size=0.25, trunc=0.6, n_classes=8)
+    fx = fy = 60.0
+    H, W = 96, 128
+    cx, cy = W / 2, H / 2
+    trajs = {}
+    for r in range(args.robots):
+        sl = slice(r * T, (r + 1) * T)
+        R_est, t_est = params.R[sl], params.t[sl]
+        trajs[r] = np.asarray(t_est)
+        # deformation-graph correction of the odometry-frame trajectory:
+        # nodes = odometry poses, constraints = optimized keyframes
+        # (demonstrates the pgmo path; for logging we use the corrected
+        # nodes directly below)
+        graph = dfm.build_graph_knn(jnp.asarray(
+            _odometry_positions(world, r)), k=3)
+        con_node = jnp.arange(0, T, max(T // 8, 1), dtype=jnp.int32)
+        con_target = t_est[con_node]
+        state = dfm.solve(dfm.identity_state(T), graph, con_node,
+                          con_target, jnp.ones(con_node.shape[0], bool),
+                          dfm.DeformationConfig(gn_iters=4, cg_iters=30))
+        t_corr = np.asarray(graph.node_pos + state.t)
+        # integrate each keyframe's landmarks from the corrected pose
+        for k in range(0, T, 2):
+            if not world.obs_valid[r, k].any():
+                continue
+            lm_cam = jnp.asarray(world.landmarks_local[r, k])
+            lab = jnp.full((lm_cam.shape[0],),
+                           int(world.place_of_kf[r, k]) % 8, jnp.int32)
+            depth, lab_img = tsdf.depth_image_from_points(
+                lm_cam, lab, jnp.asarray(world.obs_valid[r, k]),
+                H, W, fx, fy, cx, cy, dilate=2)
+            grid = tsdf.integrate(
+                grid, depth, lab_img, R_est[k],
+                jnp.asarray(t_corr[k]), fx, fy, cx, cy)
+    verts, normals, labels, valid = tsdf.extract_surface(grid, 16384)
+    mesh_io.write_ply_points(os.path.join(args.log_dir, "surface.ply"),
+                             verts, normals, labels, valid)
+    tris, tvalid = marching.marching_tetrahedra(grid, max_triangles=32768)
+    marching.write_ply_triangles(os.path.join(args.log_dir, "mesh.ply"),
+                                 tris, tvalid)
+    mesh_io.write_html_viewer(
+        os.path.join(args.log_dir, "run.html"), trajs,
+        points=np.asarray(verts)[np.asarray(valid)])
+    print(f"[run] artifacts: surface.ply, mesh.ply, run.html in "
+          f"{args.log_dir}", file=sys.stderr)
+
+
+def _odometry_positions(world, r):
+    """Compose robot r's odometry chain (odometry-frame positions)."""
+    import numpy as np
+
+    from ..core import lie
+    import jax.numpy as jnp
+
+    T = world.R_odo.shape[1] + 1
+    R = np.eye(3, dtype=np.float32)
+    t = np.zeros(3, np.float32)
+    out = [t.copy()]
+    for k in range(T - 1):
+        Rn, tn = lie.se3_compose(jnp.asarray(R), jnp.asarray(t),
+                                 jnp.asarray(world.R_odo[r, k]),
+                                 jnp.asarray(world.t_odo[r, k]))
+        R, t = np.asarray(Rn), np.asarray(tn)
+        out.append(t.copy())
+    return np.stack(out)
 
 
 def _status_name(code):

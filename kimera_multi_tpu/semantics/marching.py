@@ -55,7 +55,8 @@ def marching_tetrahedra(grid: TsdfGrid, level: float = 0.0,
     """Extract the level-set triangle mesh.
 
     Returns (tris (T, 3, 3) world-space vertices, valid (T,)). Only
-    observed voxels (weight > 0 at all 8 cube corners) emit geometry.
+    tetrahedra whose 4 corners are all observed (weight > 0) emit
+    geometry.
     """
     t = grid.tsdf
     w = grid.weight
@@ -69,7 +70,6 @@ def marching_tetrahedra(grid: TsdfGrid, level: float = 0.0,
 
     vals = jnp.stack([corner(t, o) for o in _CORNER_OFFSETS], -1)
     obs = jnp.stack([corner(w, o) > 0 for o in _CORNER_OFFSETS], -1)
-    all_obs = jnp.all(obs, axis=-1)
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (cx, cy, cz), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (cx, cy, cz), 1)
@@ -88,6 +88,7 @@ def marching_tetrahedra(grid: TsdfGrid, level: float = 0.0,
         tv = tets[ti]  # (4,) cube corner ids
         v4 = vals[..., tv]  # (cx,cy,cz,4)
         p4 = corners[..., tv, :]  # (cx,cy,cz,4,3)
+        tet_obs = jnp.all(obs[..., tv], axis=-1)  # all 4 tet corners seen
         inside = (v4 < level).astype(jnp.int32)
         code = (inside[..., 0] + 2 * inside[..., 1] + 4 * inside[..., 2]
                 + 8 * inside[..., 3])
@@ -101,7 +102,7 @@ def marching_tetrahedra(grid: TsdfGrid, level: float = 0.0,
         epts = pa + alpha * (pb - pa)
         for k in range(2):
             eidx = tri_table[code, k]  # (cx,cy,cz,3)
-            tri_ok = (eidx[..., 0] >= 0) & all_obs
+            tri_ok = (eidx[..., 0] >= 0) & tet_obs
             safe = jnp.clip(eidx, 0, 5)
             verts = jnp.take_along_axis(
                 epts, safe[..., :, None].repeat(3, -1), axis=-2)

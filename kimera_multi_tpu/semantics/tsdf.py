@@ -45,10 +45,13 @@ def make_grid(shape, origin, voxel_size: float, trunc: float,
     )
 
 
-def depth_image_from_points(points_cam, labels, valid, H, W, fx, fy, cx, cy):
+def depth_image_from_points(points_cam, labels, valid, H, W, fx, fy, cx, cy,
+                            dilate: int = 0):
     """Bin a camera-frame point cloud into a (H, W) depth + label image
     (scatter-min on depth; the sensor adapter when no depth camera image
-    is available)."""
+    is available). `dilate` > 0 splats each point over a
+    (2*dilate+1)^2 neighborhood (min-pool) so sparse landmark clouds
+    produce usable projective-TSDF updates."""
     z = points_cam[:, 2]
     ok = valid & (z > 1e-3)
     u = jnp.clip((fx * points_cam[:, 0] / jnp.maximum(z, 1e-6) + cx)
@@ -61,8 +64,16 @@ def depth_image_from_points(points_cam, labels, valid, H, W, fx, fy, cx, cy):
     depth = depth.at[jnp.where(ok, flat, 0)].min(jnp.where(ok, z, big))
     lab = jnp.zeros((H * W,), jnp.int32)
     lab = lab.at[jnp.where(ok, flat, 0)].max(jnp.where(ok, labels, 0))
+    depth = depth.reshape(H, W)
+    lab = lab.reshape(H, W)
+    if dilate > 0:
+        k = 2 * dilate + 1
+        depth = jax.lax.reduce_window(depth, big, jax.lax.min, (k, k),
+                                      (1, 1), "SAME")
+        lab = jax.lax.reduce_window(lab, 0, jax.lax.max, (k, k), (1, 1),
+                                    "SAME")
     depth = jnp.where(depth >= big, 0.0, depth)
-    return depth.reshape(H, W), lab.reshape(H, W)
+    return depth, lab
 
 
 @jax.jit
