@@ -38,6 +38,13 @@ def main(argv=None):
     p.add_argument("--gnc-rounds", type=int, default=40)
     p.add_argument("--artifacts", action="store_true",
                    help="emit mesh PLY + HTML viewer (TSDF + deformation)")
+    p.add_argument("--checkpoint", default=None,
+                   help="sharded mode: save round state here each dump")
+    p.add_argument("--resume", default=None,
+                   help="sharded mode: resume from a round-state checkpoint")
+    p.add_argument("--dump-every", type=int, default=10,
+                   help="sharded mode: trajectory dump + checkpoint cadence "
+                        "in rounds (reference: 10 s logTimerCallback)")
     args = p.parse_args(argv)
 
     import jax
@@ -111,10 +118,18 @@ def run_sim(args):
         round_fn = rounds.make_round_fn(m, edges, args.steps, rcfg,
                                         weight_update_every=2,
                                         burnin_rounds=8)
-        state = rounds.init_state(m, Y0, jnp.ones(args.robots, bool), edges,
-                                  args.steps, init_weights=w0)
+        if args.resume:
+            from ..dist import checkpoint as ckpt_mod
+
+            state = ckpt_mod.load(args.resume, mesh=m)
+            print(f"[run] resumed from {args.resume} at round "
+                  f"{int(state.round_idx)}", file=sys.stderr)
+        else:
+            state = rounds.init_state(m, Y0, jnp.ones(args.robots, bool),
+                                      edges, args.steps, init_weights=w0)
         comm_bytes = rounds.round_comm_bytes(Y0.shape, rcfg.inner_iters)
         dpgo_rows = []
+        dump_idx = 0
         for i in range(args.gnc_rounds):
             t0 = time.time()
             state, cost = round_fn(state)
@@ -126,6 +141,14 @@ def run_sim(args):
                 total_time_sec=time.time() - t_start,
                 rel_change=0.0, func_decrease=float(cost), grad_norm=0.0,
                 num_active_robots=args.robots))
+            if (i + 1) % args.dump_every == 0:
+                # periodic trajectory dumps (logTimerCallback equivalent)
+                _dump_round_trajectories(args, world, state, dump_idx)
+                dump_idx += 1
+                if args.checkpoint:
+                    from ..dist import checkpoint as ckpt_mod
+
+                    ckpt_mod.save(args.checkpoint, state)
         R_all, t_all = stiefel.round_solution(
             state.Y.reshape(-1, state.Y.shape[2], state.Y.shape[3]), 3)
         weights = state.gnc_state.weights
@@ -158,6 +181,27 @@ def run_sim(args):
         write_artifacts(args, world, params)
 
 
+def _dump_round_trajectories(args, world, state, dump_idx):
+    """Mid-optimization trajectory dump per robot
+    (kimera_distributed_poses_tum_<k>.tum, drawio:86-110)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core import lie, stiefel
+    from ..io import logs
+
+    R_all, t_all = stiefel.round_solution(
+        state.Y.reshape(-1, state.Y.shape[2], state.Y.shape[3]), 3)
+    T = args.steps
+    for r in range(args.robots):
+        sl = slice(r * T, (r + 1) * T)
+        q = np.asarray(lie.rot_to_quat(R_all[sl]))
+        logs.write_tum(
+            os.path.join(args.log_dir, f"robot{r}", "distributed",
+                         f"kimera_distributed_poses_tum_{dump_idx}.tum"),
+            world.timestamps[r], np.asarray(t_all[sl]), q)
+
+
 def write_logs(args, world, fe, params, weights, dpgo_rows):
     import jax.numpy as jnp
     import numpy as np
@@ -176,9 +220,11 @@ def write_logs(args, world, fe, params, weights, dpgo_rows):
         t_est = params.t[sl]
         q_est = np.asarray(lie.rot_to_quat(R_est))
         ts = world.timestamps[r]
+        final_idx = getattr(args, "gnc_rounds", 0) // max(
+            getattr(args, "dump_every", 10), 1) + 1
         logs.write_tum(
             os.path.join(rdir, "distributed",
-                         "kimera_distributed_poses_tum_0.tum"),
+                         f"kimera_distributed_poses_tum_{final_idx}.tum"),
             ts, np.asarray(t_est), q_est)
         # keyframes csv (odometry frame)
         logs.write_keyframes_csv(

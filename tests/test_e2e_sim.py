@@ -22,9 +22,11 @@ def test_e2e_sim_pipeline(tmp_path):
     # logs exist in the reference schema
     for r in range(2):
         base = os.path.join(str(tmp_path), f"robot{r}")
-        tum = os.path.join(base, "distributed",
-                           "kimera_distributed_poses_tum_0.tum")
-        ts, t, q = logs.read_tum(tum)
+        import glob
+        tums = sorted(glob.glob(os.path.join(
+            base, "distributed", "kimera_distributed_poses_tum_*.tum")))
+        assert tums
+        ts, t, q = logs.read_tum(tums[-1])
         assert len(ts) == 30
         lc = logs.read_csv(os.path.join(base, "distributed",
                                         "loop_closures.csv"))
