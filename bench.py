@@ -73,8 +73,7 @@ def build_verify_fn(n_hyp: int = 500):
     from kimera_multi_tpu.core import rng as rngmod
     from kimera_multi_tpu.kernels import hamming, ransac
 
-    def verify_one(cand_id, da, db, fa, fb, pa, pb, v):
-        m, _ = hamming.knn2_lowe_match(da, v, db, v, lowe_ratio=0.7)
+    def verify_one(cand_id, m, fa, fb, pa, pb):
         matched = m >= 0
         idx = jnp.maximum(m, 0)
         kmono = rngmod.derive(rngmod.base_key(0), cand_id,
@@ -95,8 +94,10 @@ def build_verify_fn(n_hyp: int = 500):
 
     @jax.jit
     def verify_batch(da, db, fa, fb, pa, pb, v):
+        # batched Pallas pair matching (fused Hamming matmul + top-2)
+        m, _ = hamming.knn2_lowe_match_pairs(da, v, db, v, lowe_ratio=0.7)
         ids = jnp.arange(da.shape[0])
-        return jax.vmap(verify_one)(ids, da, db, fa, fb, pa, pb, v)
+        return jax.vmap(verify_one)(ids, m, fa, fb, pa, pb)
 
     return verify_batch
 

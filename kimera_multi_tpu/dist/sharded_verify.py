@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from ..kernels import minimal, ransac
+from ..kernels import minimal, ransac, score
 from .mesh import SHARD_AXIS
 
 
@@ -41,19 +41,15 @@ def make_sharded_arun(mesh, n_hyp: int = 512, threshold: float = 0.3,
         check_vma=False,
     )
     def _run(key, p, q, valid):
-        # identical full hypothesis table on every shard, then slice
-        idx_full = ransac._masked_sample(key, valid, n_hyp, 3)
+        # identical full hypothesis table on every shard, then slice.
+        # Solve + score use the SAME helpers as the single-chip
+        # ransac_arun — per-hypothesis arithmetic is batch-independent,
+        # so the sharded counts are bitwise equal to the full-table ones.
+        picks_full, order = ransac._masked_sample_parts(key, valid, n_hyp, 3)
         s = jax.lax.axis_index(SHARD_AXIS)
-        idx = jax.lax.dynamic_slice_in_dim(idx_full, s * h_local, h_local)
-        R_h, t_h, ok_h = minimal.arun_3d3d(p[idx], q[idx])
-        srt = jnp.sort(idx, axis=1)
-        distinct = jnp.all(srt[:, 1:] != srt[:, :-1], axis=1)
-        ok_h = ok_h & distinct
-        resid = q[None, :, :] - (
-            jnp.einsum("hij,kj->hki", R_h, p) + t_h[:, None, :])
-        d2 = jnp.sum(resid * resid, axis=-1)
-        inl = (d2 < threshold * threshold) & valid[None, :]
-        counts = jnp.sum(inl, axis=1) * ok_h
+        picks = jax.lax.dynamic_slice_in_dim(picks_full, s * h_local, h_local)
+        R_h, t_h, ok_h = ransac.solve_arun_hyps(p, q, picks, order)
+        counts = score.rigid_counts(R_h, t_h, p, q, valid, threshold) * ok_h
         best_local = jnp.argmax(counts)
         # gather per-shard winners; the global argmax ties broken by shard
         # order to match the single-device argmax over the full table

@@ -99,6 +99,115 @@ def knn2_lowe_match_batch(desc_q, valid_q, desc_t, valid_t, lowe_ratio=0.7):
 
 
 # ---------------------------------------------------------------------------
+# Pallas pair-matching: the whole (Kq, Kt) distance matrix of one candidate
+# pair lives in VMEM; the matmul + top-2 reduction never touch HBM. vmapped
+# over the candidate batch (the batch axis becomes the leading grid dim).
+# ---------------------------------------------------------------------------
+
+
+def _pair_top2_kernel(qb_ref, tbT_ref, rt_ref, d1_ref, d2_ref, i1_ref):
+    qb = qb_ref[...]  # (Kq, 256) bf16 bits
+    tbT = tbT_ref[...]  # (256, Kt) bf16 bits, pre-transposed (Mosaic wants
+    # the contraction on lhs-minor x rhs-major)
+    rt = rt_ref[...]  # (1, Kt) f32 row sums (huge for invalid cols)
+    rq = jnp.sum(qb.astype(jnp.float32), axis=-1, keepdims=True)
+    # precision=DEFAULT: {0,1} bf16 bits with f32 accumulation are exact,
+    # and Mosaic rejects bf16 MXU ops under the package-wide HIGHEST
+    # default (it would need a multi-pass decomposition)
+    ab = jax.lax.dot_general(
+        qb, tbT, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    d = rq + rt - 2.0 * ab  # (Kq, Kt) — exact integers for valid cols
+    d1 = jnp.min(d, axis=1, keepdims=True)
+    i1 = jnp.argmin(d, axis=1).astype(jnp.int32)[:, None]
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    d2 = jnp.min(jnp.where(cols == i1, 1e30, d), axis=1, keepdims=True)
+    d1_ref[...] = d1
+    d2_ref[...] = d2
+    i1_ref[...] = i1
+
+
+def _pair_top2(bits_q, bits_tT, rt):
+    """Single-pair top-2 search; bits_q: (Kq, 256), bits_tT: (256, Kt)
+    bf16, rt: (1, Kt) f32. Returns (d1 (Kq,), d2 (Kq,), i1 (Kq,))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Kq = bits_q.shape[0]
+    outs = pl.pallas_call(
+        _pair_top2_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Kq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Kq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Kq, 1), jnp.int32),
+        ],
+    )(bits_q, bits_tT, rt)
+    return outs[0][:, 0], outs[1][:, 0], outs[2][:, 0]
+
+
+def knn2_lowe_match_pairs(
+    desc_q: jnp.ndarray,
+    valid_q: jnp.ndarray,
+    desc_t: jnp.ndarray,
+    valid_t: jnp.ndarray,
+    lowe_ratio: float = 0.7,
+    max_distance: int = 256,
+):
+    """Batched pair matching — reference semantics of `knn2_lowe_match`
+    over a candidate axis: desc_* (C, K, 32) uint8, valid_* (C, K).
+
+    On TPU the distance matrix + top-2 run in a fused Pallas kernel (one
+    grid step per candidate pair); elsewhere falls back to the vmapped XLA
+    path. Returns (match_idx (C, Kq) int32 — -1 if rejected; d1 (C, Kq)
+    int32, clipped to the XLA path's 512 no-match sentinel).
+    """
+    if jax.default_backend() != "tpu":
+        fn = jax.vmap(lambda dq, vq, dt, vt: knn2_lowe_match(
+            dq, vq, dt, vt, lowe_ratio, max_distance=max_distance))
+        return fn(desc_q, valid_q, desc_t, valid_t)
+
+    C, Kq, _ = desc_q.shape
+    Kt = desc_t.shape[1]
+    pad_q = (-Kq) % 128
+    pad_t = (-Kt) % 128
+    if pad_q:
+        desc_q = jnp.pad(desc_q, ((0, 0), (0, pad_q), (0, 0)))
+        valid_q = jnp.pad(valid_q, ((0, 0), (0, pad_q)))
+    if pad_t:
+        desc_t = jnp.pad(desc_t, ((0, 0), (0, pad_t), (0, 0)))
+        valid_t = jnp.pad(valid_t, ((0, 0), (0, pad_t)))
+    bits_q = unpack_bits(desc_q).astype(jnp.bfloat16)
+    bits_t = unpack_bits(desc_t).astype(jnp.bfloat16)
+    # invalid/padded target columns get a huge additive term, taking them
+    # out of both top-2 slots (the XLA path masks them to 512 — decisions
+    # below are identical because real distances are <= 256)
+    rt = jnp.sum(bits_t.astype(jnp.float32), axis=-1)
+    rt = jnp.where(valid_t, rt, 1e9)[:, None, :]  # (C, 1, Ktp)
+
+    d1, d2, i1 = jax.vmap(_pair_top2)(bits_q, jnp.swapaxes(bits_t, 1, 2), rt)
+    ok = (
+        valid_q
+        & (d1 < lowe_ratio * d2)
+        & (d1 <= float(max_distance))
+    )
+    m = jnp.where(ok, i1, -1).astype(jnp.int32)
+    d1c = jnp.minimum(d1, 512.0).astype(jnp.int32)
+    return m[:, :Kq], d1c[:, :Kq]
+
+
+# ---------------------------------------------------------------------------
 # Pallas kernel: tiled Hamming top-2 for large databases (detection-side
 # scoring over the full sharded descriptor DB). Grid over query tiles;
 # K-dim streamed through VMEM.
@@ -112,9 +221,13 @@ def _hamming_top2_kernel(q_ref, t_ref, rt_ref, d1_ref, d2_ref, i1_ref):
     t = t_ref[...]  # (TT, 256) bf16 bits
     rt = rt_ref[...]  # (1, TT) f32 row sums of t
     rq = jnp.sum(q.astype(jnp.float32), axis=-1, keepdims=True)
+    # transpose t in-kernel so the contraction is lhs-minor x rhs-major,
+    # and force DEFAULT precision (exact for {0,1} bits; Mosaic rejects
+    # bf16 MXU ops under the package-wide HIGHEST default)
     ab = jax.lax.dot_general(
-        q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+        q, t.T, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     d = rq + rt - 2.0 * ab  # (TQ, TT)
     j = pl_program_id_1()

@@ -19,22 +19,26 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng as rng_mod
-from . import minimal
+from . import gather, minimal, score, soa
 
 _EPS = 1e-12
 
 
-def _masked_sample(key, valid: jnp.ndarray, n_hyp: int, k: int) -> jnp.ndarray:
-    """(n_hyp, k) distinct indices drawn only from valid positions.
+def _masked_sample_parts(key, valid: jnp.ndarray, n_hyp: int, k: int):
+    """Floyd k-subset sampling over the valid entries, split into
+    (picks (n_hyp, k) int32 into the valid-first permutation,
+     order (n,) int32 — the permutation itself).
 
-    Floyd's k-subset sampling, vectorized over hypotheses: draw
-    t_j ~ U[0, m-k+j] for j = 0..k-1 over the valid count m; if t_j
-    collides with an earlier pick, substitute m-k+j. O(k^2) compares —
-    no per-hypothesis sort (top-k of uniforms costs a 704-element sort per
-    hypothesis on TPU, which dominated the whole verification kernel).
+    Callers gather sample data as x[order][picks] (one (n,)-row
+    permutation gather + one lane-major pick gather) instead of composing
+    index arrays — the (n_hyp, k) int gather `order[picks]` was a
+    measurable fraction of verification time on TPU.
 
-    Requires >= k valid entries; with fewer, index clamping yields repeats
-    and downstream degeneracy masking rejects those hypotheses.
+    Floyd: draw t_j ~ U[0, m-k+j] for j = 0..k-1 over the valid count m;
+    if t_j collides with an earlier pick, substitute m-k+j. O(k^2)
+    compares — no per-hypothesis sort. Requires >= k valid entries; with
+    fewer, index clamping yields repeats and downstream degeneracy masking
+    rejects those hypotheses.
     """
     n = valid.shape[0]
     m = jnp.sum(valid).astype(jnp.int32)  # number of valid entries
@@ -53,7 +57,59 @@ def _masked_sample(key, valid: jnp.ndarray, n_hyp: int, k: int) -> jnp.ndarray:
         t = jnp.where(coll, m - k + j, t)
         picks = picks.at[:, j].set(t)
     picks = jnp.clip(picks, 0, n - 1)
+    return picks, order.astype(jnp.int32)
+
+
+def _masked_sample(key, valid: jnp.ndarray, n_hyp: int, k: int) -> jnp.ndarray:
+    """(n_hyp, k) distinct indices drawn only from valid positions
+    (composed form of `_masked_sample_parts`)."""
+    picks, order = _masked_sample_parts(key, valid, n_hyp, k)
     return order[picks].astype(jnp.int32)
+
+
+def _distinct(picks: jnp.ndarray) -> jnp.ndarray:
+    """(H,) bool — True where the sample has no repeated index."""
+    srt = jnp.sort(picks, axis=1)
+    return jnp.all(srt[:, 1:] != srt[:, :-1], axis=1)
+
+
+def _gather_samples(data, picks):
+    """data: (K, 3); picks: (H, k) indices. Returns list over the k sample
+    points of SoA vec3s ((H,) components) via the one-hot MXU gather —
+    no scalar gathers, no (H, k, 3) intermediate in a bad layout."""
+    g = gather.sample_gather_t(data, picks)  # (k * 3, H)
+    k = picks.shape[1]
+    return [[g[m * 3 + i] for i in range(3)] for m in range(k)]
+
+
+def solve_arun_hyps(p, q, picks, order):
+    """SoA-batched minimal Arun solves for all hypotheses.
+
+    p, q: (K, 3); picks: (H, 3) indices into the valid-first permutation
+    `order`. Returns (R_h (H, 3, 3), t_h (H, 3), ok_h (H,)) with ok_h
+    False for degenerate or repeated samples. Shared by the single-chip
+    and hypothesis-sharded (dist/sharded_verify.py) paths — per-hypothesis
+    arithmetic is independent of the batch, so sharding the table cannot
+    change results.
+    """
+    ps = _gather_samples(p[order], picks)
+    qs = _gather_samples(q[order], picks)
+    R_l, t_l, ok_h = soa.arun3(ps, qs)
+    ok_h = ok_h & _distinct(picks)
+    return soa.stack_mat3(R_l), soa.stack_vec(t_l), ok_h
+
+
+def solve_essential_hyps(f1, f2, picks, order):
+    """SoA-batched 8-point essential solves for all hypotheses.
+
+    f1, f2: (K, 3) unit bearings; picks: (H, 8). Returns
+    (E_h (H, 3, 3), ok_h (H,)).
+    """
+    s1 = _gather_samples(f1[order], picks)
+    s2 = _gather_samples(f2[order], picks)
+    E_l, ok_h = soa.essential8(s1, s2)
+    ok_h = ok_h & _distinct(picks)
+    return soa.stack_mat3(E_l), ok_h
 
 
 def ransac_arun(
@@ -73,26 +129,17 @@ def ransac_arun(
     (`ransac_threshold_3d3d: 0.3`). Returns dict with R, t (B<-A ... the
     transform satisfying q ~ R p + t), inliers (K,), n_inliers, ok.
     """
-    K = p.shape[0]
-    idx = _masked_sample(key, valid, n_hyp, 3)
-    ps = p[idx]  # (H, 3, 3)
-    qs = q[idx]
-    R_h, t_h, ok_h = minimal.arun_3d3d(ps, qs)  # (H, 3, 3), (H, 3), (H,)
-    # distinctness guard: degenerate if sample has repeated index
-    srt = jnp.sort(idx, axis=1)
-    distinct = jnp.all(srt[:, 1:] != srt[:, :-1], axis=1)
-    ok_h = ok_h & distinct
+    picks, order = _masked_sample_parts(key, valid, n_hyp, 3)
+    R_h, t_h, ok_h = solve_arun_hyps(p, q, picks, order)
 
-    # score: ||q - (R p + t)|| < threshold
-    resid = q[None, :, :] - (
-        jnp.einsum("hij,kj->hki", R_h, p) + t_h[:, None, :]
-    )  # (H, K, 3)
-    d2 = jnp.sum(resid * resid, axis=-1)
-    inl = (d2 < threshold * threshold) & valid[None, :]
-    counts = jnp.sum(inl, axis=1) * ok_h
+    # score: count of ||q - (R p + t)|| < threshold per hypothesis
+    # (fused Pallas kernel on TPU — no (H, K) residual materialization)
+    counts = score.rigid_counts(R_h, t_h, p, q, valid, threshold) * ok_h
     best = jnp.argmax(counts)
-    best_inl = inl[best]
     R_b, t_b = R_h[best], t_h[best]
+    resid0 = q - (jnp.einsum("ij,kj->ki", R_b, p) + t_b)
+    best_inl = (jnp.sum(resid0 * resid0, axis=-1) < threshold * threshold) \
+        & valid
     if refine:
         # weighted re-solve on the consensus set (the reference's
         # optimize_3d3d_pose_from_inliers is off by default, but the
@@ -216,11 +263,11 @@ def ransac_essential_5pt(
     # (H, S, 3, 3) -> flatten models
     H, S = E_h.shape[0], E_h.shape[1]
     E_flat = E_h.reshape(H * S, 3, 3)
-    err = minimal.sampson_error(E_flat, f1[None], f2[None])  # (H*S, K)
-    inl = (err < threshold) & valid[None, :]
-    counts = jnp.sum(inl, axis=1)
+    # fused Sampson-inlier counting (Pallas on TPU)
+    counts = score.essential_counts(E_flat, f1, f2, valid, threshold)
     best = jnp.argmax(counts)
-    best_inl = inl[best]
+    err0 = minimal.sampson_error(E_flat[best], f1, f2)
+    best_inl = (err0 < threshold) & valid
     # refine on consensus with the (weighted) 8-point least squares
     E_r, ok_r = minimal.essential_8pt(f1, f2, best_inl.astype(f1.dtype))
     use = ok_r & (jnp.sum(best_inl) >= 8)
@@ -253,17 +300,19 @@ def ransac_essential(
     solver (see kernels/minimal.py docstring for the 5-pt parity note).
     threshold: squared Sampson error (`ransac_threshold_2d2d: 1e-06`).
     """
-    idx = _masked_sample(key, valid, n_hyp, k_sample)
-    E_h, ok_h = minimal.essential_8pt(f1[idx], f2[idx])  # (H, 3, 3)
-    err = minimal.sampson_error(E_h, f1[None], f2[None].astype(f1.dtype))  # (H, K)
-    inl = (err < threshold) & valid[None, :]
-    counts = jnp.sum(inl, axis=1) * ok_h
+    assert k_sample == 8, "the SoA minimal path is specialized to k=8"
+    picks, order = _masked_sample_parts(key, valid, n_hyp, k_sample)
+    E_h, ok_h = solve_essential_hyps(f1, f2, picks, order)
+    # fused Sampson-inlier counting (Pallas on TPU)
+    counts = score.essential_counts(E_h, f1, f2, valid, threshold) * ok_h
     best = jnp.argmax(counts)
-    best_inl = inl[best]
+    E_best = E_h[best]
+    err0 = minimal.sampson_error(E_best, f1, f2)
+    best_inl = (err0 < threshold) & valid
     # refine on consensus set (weighted 8-pt)
     E_r, ok_r = minimal.essential_8pt(f1, f2, best_inl.astype(f1.dtype))
     use = ok_r & (jnp.sum(best_inl) >= k_sample)
-    E_b = jnp.where(use, E_r, E_h[best])
+    E_b = jnp.where(use, E_r, E_best)
     err_b = minimal.sampson_error(E_b, f1, f2)
     best_inl = (err_b < threshold) & valid
     n_inl = jnp.sum(best_inl).astype(jnp.int32)

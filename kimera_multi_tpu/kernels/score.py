@@ -1,0 +1,227 @@
+"""Fused RANSAC hypothesis scoring (Pallas on TPU, XLA reference elsewhere).
+
+Scoring is the HBM-bound half of batched RANSAC: naive formulations
+materialize (H, K, 3) residual tensors per candidate (hundreds of MB per
+verification batch). These kernels compute inlier COUNTS per hypothesis in
+VMEM tiles — the residual matrices never leave the chip:
+
+  * the (K,)-point data is loaded once per hypothesis tile,
+  * per-tile residuals are (TILE_H, K) MXU matmul outputs,
+  * the (H,) counts are the only HBM writes.
+
+The winning hypothesis's inlier MASK is recomputed afterwards for the
+single best model (cheap, XLA). Role of the per-correspondence scoring
+loop inside opengv's RANSAC (SURVEY.md section 3.2 hot loop).
+
+Both kernels have an algebraically identical XLA path used on CPU (tests)
+— per backend the two RANSAC stages (counts, final mask) always use one
+consistent arithmetic, which keeps the hypothesis-sharded variant
+(dist/sharded_verify.py) bitwise equal to the single-chip one.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _pad_h(x, tile=128):
+    H = x.shape[0]
+    pad = (-H) % tile
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x
+
+
+def _pick_tile(Hp: int) -> int:
+    """Largest hypothesis tile that divides Hp — per-grid-step overhead
+    dominates these small kernels, so fewer/bigger steps win (VMEM holds
+    a (512, K) residual tile comfortably for K ~ 1k)."""
+    for t in (512, 256, 128):
+        if Hp % t == 0:
+            return t
+    return 128
+
+
+# ---------------------------------------------------------------------------
+# rigid (3d3d Arun) hypothesis counts:
+#   d2(h, k) = || q_k - (R_h p_k + t_h) ||^2 ;  count_h = #{k : d2 < thr2}
+# ---------------------------------------------------------------------------
+
+
+def _rigid_counts_kernel(R9_ref, t3_ref, pT_ref, qT_ref, valid_ref, out_ref,
+                         *, thr2: float):
+    R9 = R9_ref[...]  # (TH, 9) row-major rotations
+    t3 = t3_ref[...]  # (TH, 3)
+    pT = pT_ref[...]  # (3, K)
+    qT = qT_ref[...]  # (3, K)
+    valid = valid_ref[...]  # (1, K) f32
+    d2 = None
+    for i in range(3):
+        Rp = jax.lax.dot_general(
+            R9[:, 3 * i:3 * i + 3], pT,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TH, K)
+        r = qT[i:i + 1, :] - Rp - t3[:, i:i + 1]
+        d2 = r * r if d2 is None else d2 + r * r
+    inl = jnp.where((d2 < thr2) & (valid > 0.5), 1.0, 0.0)
+    out_ref[...] = jnp.sum(inl, axis=1, keepdims=True).astype(jnp.int32)
+
+
+def rigid_counts_ref(R, t, p, q, valid, threshold):
+    """XLA reference scoring (identical math; used on CPU)."""
+    thr2 = float(threshold) * float(threshold)
+    resid = q[None, :, :] - (
+        jnp.einsum("hij,kj->hki", R, p) + t[:, None, :])
+    d2 = jnp.sum(resid * resid, axis=-1)
+    return jnp.sum((d2 < thr2) & valid[None, :], axis=1).astype(jnp.int32)
+
+
+def rigid_counts(R: jnp.ndarray, t: jnp.ndarray, p: jnp.ndarray,
+                 q: jnp.ndarray, valid: jnp.ndarray,
+                 threshold: float, interpret: bool = False) -> jnp.ndarray:
+    """Inlier counts for rigid-transform hypotheses.
+
+    R: (H, 3, 3); t: (H, 3); p, q: (K, 3); valid: (K,) bool.
+    Returns (H,) int32.
+    """
+    thr2 = float(threshold) * float(threshold)
+    if not (_use_pallas() or interpret):
+        return rigid_counts_ref(R, t, p, q, valid, threshold)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H = R.shape[0]
+    R9 = _pad_h(R.reshape(H, 9))
+    t3 = _pad_h(t)
+    Hp = R9.shape[0]
+    tile_h = _pick_tile(Hp)
+    pT = p.T  # (3, K)
+    qT = q.T
+    vf = valid.astype(jnp.float32)[None, :]  # (1, K)
+    K = pT.shape[1]
+
+    counts = pl.pallas_call(
+        functools.partial(_rigid_counts_kernel, thr2=thr2),
+        grid=(Hp // tile_h,),
+        in_specs=[
+            pl.BlockSpec((tile_h, 9), lambda h: (h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, 3), lambda h: (h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_h, 1), lambda h: (h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hp, 1), jnp.int32),
+        interpret=interpret,
+    )(R9, t3, pT, qT, vf)
+    return counts[:H, 0]
+
+
+# ---------------------------------------------------------------------------
+# essential-matrix hypothesis counts (squared Sampson error, matching
+# minimal.sampson_error):
+#   num = f2^T E f1 ;  den = (E f1)_x^2 + (E f1)_y^2 + (E^T f2)_x^2
+#         + (E^T f2)_y^2 ;  err = num^2 / max(den, eps)
+# ---------------------------------------------------------------------------
+
+
+def _essential_counts_kernel(E9_ref, Et9_ref, g_ref, f1T_ref, f2T_ref,
+                             valid_ref, out_ref, *, thr: float):
+    E9 = E9_ref[...]  # (TH, 9) row-major E
+    Et9 = Et9_ref[...]  # (TH, 9) row-major E^T
+    g = g_ref[...]  # (9, K): g[3i+j, k] = f2[k, i] * f1[k, j]
+    f1T = f1T_ref[...]  # (3, K)
+    f2T = f2T_ref[...]
+    valid = valid_ref[...]  # (1, K)
+
+    num = jax.lax.dot_general(
+        E9, g, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (TH, K)
+    den = None
+    for i in range(2):  # only x, y components enter the denominator
+        Ef1_i = jax.lax.dot_general(
+            E9[:, 3 * i:3 * i + 3], f1T,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        Etf2_i = jax.lax.dot_general(
+            Et9[:, 3 * i:3 * i + 3], f2T,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        term = Ef1_i * Ef1_i + Etf2_i * Etf2_i
+        den = term if den is None else den + term
+    err = (num * num) / jnp.maximum(den, _EPS)
+    inl = jnp.where((err < thr) & (valid > 0.5), 1.0, 0.0)
+    out_ref[...] = jnp.sum(inl, axis=1, keepdims=True).astype(jnp.int32)
+
+
+def essential_counts_ref(E, f1, f2, valid, threshold):
+    """XLA reference scoring (identical math; used on CPU)."""
+    thr = float(threshold)
+    Ef1 = jnp.einsum("hij,kj->hki", E, f1)
+    Etf2 = jnp.einsum("hji,kj->hki", E, f2)
+    num = jnp.sum(f2[None] * Ef1, axis=-1)
+    den = (Ef1[..., 0] ** 2 + Ef1[..., 1] ** 2
+           + Etf2[..., 0] ** 2 + Etf2[..., 1] ** 2)
+    err = (num * num) / jnp.maximum(den, _EPS)
+    return jnp.sum((err < thr) & valid[None, :], axis=1).astype(jnp.int32)
+
+
+def essential_counts(E: jnp.ndarray, f1: jnp.ndarray, f2: jnp.ndarray,
+                     valid: jnp.ndarray, threshold: float,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Sampson-inlier counts for essential-matrix hypotheses.
+
+    E: (H, 3, 3); f1, f2: (K, 3) unit bearings; valid: (K,) bool.
+    Returns (H,) int32.
+    """
+    thr = float(threshold)
+    if not (_use_pallas() or interpret):
+        return essential_counts_ref(E, f1, f2, valid, threshold)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H = E.shape[0]
+    E9 = _pad_h(E.reshape(H, 9))
+    Et9 = _pad_h(jnp.swapaxes(E, -1, -2).reshape(H, 9))
+    Hp = E9.shape[0]
+    tile_h = _pick_tile(Hp)
+    # g rows ordered to match vec(E): g[3i+j] = f2_i * f1_j
+    g = (f2[:, :, None] * f1[:, None, :]).reshape(-1, 9).T  # (9, K)
+    f1T, f2T = f1.T, f2.T
+    vf = valid.astype(jnp.float32)[None, :]
+    K = f1T.shape[1]
+
+    counts = pl.pallas_call(
+        functools.partial(_essential_counts_kernel, thr=thr),
+        grid=(Hp // tile_h,),
+        in_specs=[
+            pl.BlockSpec((tile_h, 9), lambda h: (h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, 9), lambda h: (h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_h, 1), lambda h: (h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hp, 1), jnp.int32),
+        interpret=interpret,
+    )(E9, Et9, g, f1T, f2T, vf)
+    return counts[:H, 0]
