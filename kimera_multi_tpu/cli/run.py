@@ -45,6 +45,11 @@ def main(argv=None):
     p.add_argument("--dump-every", type=int, default=10,
                    help="sharded mode: trajectory dump + checkpoint cadence "
                         "in rounds (reference: 10 s logTimerCallback)")
+    p.add_argument("--frontend", choices=["batched", "sequential"],
+                   default="batched",
+                   help="batched: two device dispatches for the whole run "
+                        "(production path); sequential: per-pair host loop "
+                        "(debug/reference semantics)")
     args = p.parse_args(argv)
 
     import jax
@@ -79,16 +84,30 @@ def run_sim(args):
     voc = vocab_mod.build_vocabulary(sub, k=8, depth=3, seed=args.seed)
 
     cfg = dlc.FrontendConfig(base_seed=args.seed)
-    fe = dlc.DistributedFrontend(args.robots, args.steps, voc, cfg)
+    if getattr(args, "frontend", "batched") == "batched":
+        from ..frontend import batched
 
-    print("[run] front-end rounds...", file=sys.stderr)
-    for k in range(args.steps):
-        for r in range(args.robots):
-            if not world.obs_valid[r, k].any():
-                continue
-            fe.process_keyframe(
-                r, k, world.descriptors[r, k], world.bearings_local[r, k],
-                world.landmarks_local[r, k], world.obs_valid[r, k])
+        fe = batched.BatchedFrontend(args.robots, args.steps, voc, cfg)
+        print("[run] front-end (batched detect + verify)...",
+              file=sys.stderr)
+        stats = fe.process_all(world.descriptors, world.bearings_local,
+                               world.landmarks_local, world.obs_valid)
+        print(f"[run] e2e front-end: detect {stats['t_detect']:.2f}s for "
+              f"{stats['n_keyframes']} keyframes, verify "
+              f"{stats['t_verify']:.2f}s for {stats['n_candidates']} "
+              f"candidates = {stats['verifications_per_s']:.1f} "
+              f"verifications/s", file=sys.stderr)
+    else:
+        fe = dlc.DistributedFrontend(args.robots, args.steps, voc, cfg)
+        print("[run] front-end rounds (sequential host loop)...",
+              file=sys.stderr)
+        for k in range(args.steps):
+            for r in range(args.robots):
+                if not world.obs_valid[r, k].any():
+                    continue
+                fe.process_keyframe(
+                    r, k, world.descriptors[r, k], world.bearings_local[r, k],
+                    world.landmarks_local[r, k], world.obs_valid[r, k])
     n_acc = sum(1 for l in fe.loops)
     print(f"[run] committed loop closures: {n_acc} "
           f"(attempts {len(fe.lcd_attempts)})", file=sys.stderr)

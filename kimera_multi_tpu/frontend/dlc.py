@@ -243,46 +243,53 @@ class DistributedFrontend:
     # ------------------------------------------------------------------
     def build_pose_graph(self, R_odo: np.ndarray, t_odo: np.ndarray,
                          edge_capacity: int | None = None) -> PoseGraphEdges:
-        """Assemble odometry + committed LC edges into the back-end's
-        PoseGraphEdges (the request_pose_graph service equivalent,
-        drawio:629-632)."""
-        cfg = self.cfg
-        R, Tm1 = R_odo.shape[0], R_odo.shape[1]
-        rows = []
-        for r in range(R):
-            for k in range(Tm1):
-                rows.append((r, k, r, k + 1, R_odo[r, k], t_odo[r, k],
-                             EDGE_ODOMETRY))
-        for lc in self.loops:
-            et = (EDGE_PRIVATE_LC if lc.robot_a == lc.robot_b
-                  else EDGE_SHARED_LC)
-            rows.append((lc.robot_a, lc.frame_a, lc.robot_b, lc.frame_b,
-                         lc.R, lc.t, et))
-        E = len(rows)
-        cap = edge_capacity or int(2 ** np.ceil(np.log2(max(E, 8))))
-        Rm = np.broadcast_to(np.eye(3, dtype=np.float32),
-                             (cap, 3, 3)).copy()
-        tm = np.zeros((cap, 3), np.float32)
-        cols = np.zeros((cap, 4), np.int32)
-        et = np.zeros(cap, np.int32)
-        kap = np.zeros(cap, np.float32)
-        tau = np.zeros(cap, np.float32)
-        for e, (sr, sp, dr, dp, Re, te, ety) in enumerate(rows):
-            cols[e] = (sr, sp, dr, dp)
-            Rm[e], tm[e] = Re, te
-            et[e] = ety
-            if ety == EDGE_ODOMETRY:
-                kap[e], tau[e] = cfg.kappa_odo, cfg.tau_odo
-            else:
-                kap[e], tau[e] = cfg.kappa_lc, cfg.tau_lc
-        return PoseGraphEdges(
-            src_robot=jnp.asarray(cols[:, 0]),
-            src_pose=jnp.asarray(cols[:, 1]),
-            dst_robot=jnp.asarray(cols[:, 2]),
-            dst_pose=jnp.asarray(cols[:, 3]),
-            R=jnp.asarray(Rm),
-            t=jnp.asarray(tm),
-            kappa=jnp.asarray(kap),
-            tau=jnp.asarray(tau),
-            etype=jnp.asarray(et),
-        )
+        return build_pose_graph_from_loops(self.loops, R_odo, t_odo,
+                                           self.cfg, edge_capacity)
+
+
+def build_pose_graph_from_loops(
+    loops, R_odo: np.ndarray, t_odo: np.ndarray, cfg: FrontendConfig,
+    edge_capacity: int | None = None,
+) -> PoseGraphEdges:
+    """Assemble odometry + committed LC edges into the back-end's
+    PoseGraphEdges (the request_pose_graph service equivalent,
+    drawio:629-632)."""
+    R, Tm1 = R_odo.shape[0], R_odo.shape[1]
+    rows = []
+    for r in range(R):
+        for k in range(Tm1):
+            rows.append((r, k, r, k + 1, R_odo[r, k], t_odo[r, k],
+                         EDGE_ODOMETRY))
+    for lc in loops:
+        et = (EDGE_PRIVATE_LC if lc.robot_a == lc.robot_b
+              else EDGE_SHARED_LC)
+        rows.append((lc.robot_a, lc.frame_a, lc.robot_b, lc.frame_b,
+                     lc.R, lc.t, et))
+    E = len(rows)
+    cap = edge_capacity or int(2 ** np.ceil(np.log2(max(E, 8))))
+    Rm = np.broadcast_to(np.eye(3, dtype=np.float32),
+                         (cap, 3, 3)).copy()
+    tm = np.zeros((cap, 3), np.float32)
+    cols = np.zeros((cap, 4), np.int32)
+    et = np.zeros(cap, np.int32)
+    kap = np.zeros(cap, np.float32)
+    tau = np.zeros(cap, np.float32)
+    for e, (sr, sp, dr, dp, Re, te, ety) in enumerate(rows):
+        cols[e] = (sr, sp, dr, dp)
+        Rm[e], tm[e] = Re, te
+        et[e] = ety
+        if ety == EDGE_ODOMETRY:
+            kap[e], tau[e] = cfg.kappa_odo, cfg.tau_odo
+        else:
+            kap[e], tau[e] = cfg.kappa_lc, cfg.tau_lc
+    return PoseGraphEdges(
+        src_robot=jnp.asarray(cols[:, 0]),
+        src_pose=jnp.asarray(cols[:, 1]),
+        dst_robot=jnp.asarray(cols[:, 2]),
+        dst_pose=jnp.asarray(cols[:, 3]),
+        R=jnp.asarray(Rm),
+        t=jnp.asarray(tm),
+        kappa=jnp.asarray(kap),
+        tau=jnp.asarray(tau),
+        etype=jnp.asarray(et),
+    )

@@ -43,6 +43,65 @@ class DetectionResult(NamedTuple):
     detected: jnp.ndarray  # () bool
 
 
+def normalize_scores(scores: jnp.ndarray, nss_factor: jnp.ndarray,
+                     params: LcdParams) -> jnp.ndarray:
+    """nss normalization (use_nss: 1): s' = s / nss_factor, gated by
+    min_nss_factor (drawio:1565; LcdParams.yaml:3-8)."""
+    if params.use_nss:
+        ok_nss = nss_factor >= params.min_nss_factor
+        return jnp.where(ok_nss, scores / jnp.maximum(nss_factor, _EPS), 0.0)
+    return scores
+
+
+def top_islands(norm_scores: jnp.ndarray, params: LcdParams, n_cand: int = 1):
+    """Island computation over nss-normalized scores (computeIslands,
+    drawio:1565): alpha gate + max_db_results cap, consecutive accepted
+    frames (gaps <= max_intraisland_gap) merge into islands scored by sum;
+    each island is represented by its first max-score member.
+
+    Returns (match_ids (n_cand,) int32 — representative frame per island,
+    -1 beyond the last island; island_scores (n_cand,) f32 descending;
+    valid (n_cand,) bool). n_cand=1 reproduces the reference's single best
+    island; n_cand>1 is the candidate-list mode (the reference's detector
+    similarly surfaces up to max_db_results candidates, drawio:1565)."""
+    N = norm_scores.shape[0]
+    accept = norm_scores >= params.alpha
+    k = min(params.max_db_results, N)
+    top_vals, _ = _topk(norm_scores, k)
+    kth = top_vals[-1]
+    accept = accept & (norm_scores >= jnp.maximum(kth, _EPS))
+
+    frame_has = accept
+    idx = jnp.arange(N)
+    window_any = jnp.zeros(N, bool)
+    for g in range(1, params.max_intraisland_gap + 1):
+        window_any = window_any | jnp.roll(frame_has, g) & (idx >= g)
+    island_start = frame_has & ~window_any
+    island_id = jnp.cumsum(island_start) - 1  # valid where frame_has
+    island_id = jnp.where(frame_has, island_id, N - 1)
+
+    island_scores = jnp.zeros(N, jnp.float32).at[island_id].add(
+        jnp.where(frame_has, norm_scores, 0.0))
+    member_best = jnp.zeros(N, jnp.float32).at[island_id].max(
+        jnp.where(frame_has, norm_scores, 0.0))
+    is_rep = frame_has & (norm_scores >= member_best[island_id] - 1e-9)
+    rep_idx = jnp.full(N, N, jnp.int32).at[
+        jnp.where(is_rep, island_id, N - 1)
+    ].min(jnp.where(is_rep, idx, N).astype(jnp.int32))
+
+    c = min(n_cand, N)
+    best_scores, best_islands = _topk(island_scores, c)
+    matches = rep_idx[best_islands]
+    valid = (best_scores > 0.0) & (matches < N)
+    out_m = jnp.where(valid, matches, -1).astype(jnp.int32)
+    if c < n_cand:
+        pad = n_cand - c
+        out_m = jnp.concatenate([out_m, jnp.full(pad, -1, jnp.int32)])
+        best_scores = jnp.concatenate([best_scores, jnp.zeros(pad)])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+    return out_m, best_scores.astype(jnp.float32), valid
+
+
 def detect(
     db: BowDatabase,
     q_ids_sorted: jnp.ndarray,
@@ -65,50 +124,11 @@ def detect(
     if self_query_frame is not None:
         exclude_after = self_query_frame - params.recent_frames_window + 1
     scores = db_query(db, q_ids_sorted, q_weights, exclude_after)
+    norm_scores = normalize_scores(scores, nss_factor, params)
 
-    # nss normalization (use_nss: 1): s' = s / nss_factor, gated by
-    # min_nss_factor (drawio:1565; LcdParams.yaml:3-8)
-    if params.use_nss:
-        ok_nss = nss_factor >= params.min_nss_factor
-        norm_scores = jnp.where(ok_nss, scores / jnp.maximum(nss_factor, _EPS),
-                                0.0)
-    else:
-        norm_scores = scores
-
-    accept = norm_scores >= params.alpha
-    # keep only the top max_db_results accepted scores
-    k = min(params.max_db_results, N)
-    top_vals, _ = _topk(norm_scores, k)
-    kth = top_vals[-1]
-    accept = accept & (norm_scores >= jnp.maximum(kth, _EPS))
-
-    # --- islands: consecutive accepted frames with gaps <= max_gap merge
-    frame_has = accept
-    idx = jnp.arange(N)
-    # label: new island starts when there is no accepted frame within
-    # max_intraisland_gap before this one
-    window_any = jnp.zeros(N, bool)
-    for g in range(1, params.max_intraisland_gap + 1):
-        window_any = window_any | jnp.roll(frame_has, g) & (idx >= g)
-    island_start = frame_has & ~window_any
-    island_id = jnp.cumsum(island_start) - 1  # valid where frame_has
-    island_id = jnp.where(frame_has, island_id, N - 1)
-
-    island_scores = jnp.zeros(N, jnp.float32).at[island_id].add(
-        jnp.where(frame_has, norm_scores, 0.0))
-    # representative = max-score member of each island
-    member_best = jnp.zeros(N, jnp.float32).at[island_id].max(
-        jnp.where(frame_has, norm_scores, 0.0))
-    is_rep = frame_has & (norm_scores >= member_best[island_id] - 1e-9)
-    # pick ONE representative per island: the first achieving the max
-    rep_idx = jnp.full(N, N, jnp.int32).at[
-        jnp.where(is_rep, island_id, N - 1)
-    ].min(jnp.where(is_rep, idx, N).astype(jnp.int32))
-
-    best_island = jnp.argmax(island_scores)
-    best_island_score = island_scores[best_island]
-    match = rep_idx[best_island]
-    any_island = best_island_score > 0.0
+    matches, island_scores, valid = top_islands(norm_scores, params, n_cand=1)
+    match, best_island_score = matches[0], island_scores[0]
+    any_island = valid[0]
 
     # --- temporal constraint (checkTemporalConstraint, drawio:1565):
     # previous best island's representative must be within
@@ -122,7 +142,7 @@ def detect(
     else:
         temporal_ok = jnp.asarray(True)
 
-    detected = any_island & temporal_ok & (match < N)
+    detected = any_island & temporal_ok
     return DetectionResult(
         match_id=jnp.where(detected, match, -1).astype(jnp.int32),
         island_score=best_island_score,
