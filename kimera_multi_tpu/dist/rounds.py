@@ -45,6 +45,7 @@ def make_round_fn(
     weight_update_every: int = 3,
     mu_factor: float = 1.4,
     burnin_rounds: int = 6,
+    buckets: rbcd.EdgeBuckets | None = None,
 ):
     """Builds a jitted function advancing one bulk-synchronous round.
 
@@ -52,6 +53,15 @@ def make_round_fn(
     `solve.rbcd.rbcd_round_reference` + periodic GNC updates — asserted by
     tests on a virtual CPU mesh.
     """
+    if buckets is None:
+        import numpy as np
+
+        # every robot has odometry edges, so max id + 1 = fleet size (may
+        # exceed the mesh axis when shards hold several robots)
+        n_robots = int(max(np.asarray(edges.src_robot)[np.asarray(edges.valid)].max(),
+                           np.asarray(edges.dst_robot)[np.asarray(edges.valid)].max())) + 1
+        buckets = rbcd.bucket_edges(edges, max(n_robots,
+                                               mesh.shape[ROBOT_AXIS]))
     pspec_Y = P(ROBOT_AXIS)
     pspec_act = P(ROBOT_AXIS)
     rep = P()
@@ -78,8 +88,9 @@ def make_round_fn(
 
             def one(i, deltas):
                 robot = robot0 + i
-                d = rbcd.block_direction(
-                    Yl[i], Y_all, robot, edges, weights, cfg
+                d = rbcd.block_direction_bucketed(
+                    Yl[i], Y_all, robot, rbcd.bucket_slice(buckets, robot),
+                    weights, cfg
                 )
                 d = jnp.where(act_all[robot], d, 0.0)
                 return deltas.at[i].set(d)
@@ -121,15 +132,20 @@ def make_round_fn(
         do_update = ((state.round_idx + 1) % weight_update_every == 0) & (
             state.round_idx + 1 >= burnin_rounds
         )
-        sq = rbcd.lifted_edge_sq_errors(
-            Y_new.reshape(-1, *Y_new.shape[2:]), edges, poses_per_robot
-        )
-        updated = gnc.gnc_update_weights(
-            state.gnc_state, sq, edges.etype, edges.valid, mu_factor=mu_factor
-        )
-        new_gnc = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(do_update, a, b), updated, state.gnc_state
-        )
+
+        # lax.cond: the residual scan + weight recompute only executes on
+        # weight-update rounds (the reference likewise only touches weights
+        # on UPDATE_WEIGHT commands, drawio:2466-2469)
+        def _recompute(g):
+            sq = rbcd.lifted_edge_sq_errors(
+                Y_new.reshape(-1, *Y_new.shape[2:]), edges, poses_per_robot
+            )
+            return gnc.gnc_update_weights(
+                g, sq, edges.etype, edges.valid, mu_factor=mu_factor
+            )
+
+        new_gnc = jax.lax.cond(do_update, _recompute, lambda g: g,
+                               state.gnc_state)
         return RoundState(
             Y=Y_new,
             active=state.active,

@@ -29,12 +29,71 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import stiefel
 from ..core.containers import PoseGraphEdges
 from .pgo import PgoParams
 
 _EPS = 1e-12
+
+
+class EdgeBuckets(NamedTuple):
+    """Per-robot edge buckets: the edges touching each robot, gathered into
+    dense padded (R, Em) arrays so a block update is O(E_robot), not
+    O(E_total)-masked. This is the TPU analogue of dpgo's per-agent cached
+    data matrices (`PoseGraph::addMeasurement` routing + `clearDataMatrices`,
+    images/kimera-multi.drawio:2268,2790-2826): each agent only ever sees
+    its own odometry/private/shared edges."""
+
+    idx: jnp.ndarray  # (R, Em) int32 index into the flat edge arrays
+    valid: jnp.ndarray  # (R, Em) bool
+    src_robot: jnp.ndarray  # (R, Em) int32
+    src_pose: jnp.ndarray  # (R, Em) int32
+    dst_robot: jnp.ndarray  # (R, Em) int32
+    dst_pose: jnp.ndarray  # (R, Em) int32
+    R: jnp.ndarray  # (R, Em, 3, 3)
+    t: jnp.ndarray  # (R, Em, 3)
+    kappa: jnp.ndarray  # (R, Em)
+    tau: jnp.ndarray  # (R, Em)
+
+
+def bucket_edges(edges: PoseGraphEdges, n_robots: int,
+                 pad_multiple: int = 8) -> EdgeBuckets:
+    """Host-side bucketing (one-time, at REQUEST_POSE_GRAPH). Every valid
+    edge lands in the bucket of each robot it touches (shared LCs appear in
+    two buckets, exactly like dpgo keeps shared_lcs_ on both agents)."""
+    sr = np.asarray(edges.src_robot)
+    dr = np.asarray(edges.dst_robot)
+    valid = np.asarray(edges.valid)
+    per_robot = [np.nonzero(valid & ((sr == r) | (dr == r)))[0]
+                 for r in range(n_robots)]
+    em = max((len(ix) for ix in per_robot), default=1)
+    em = max(pad_multiple, int(np.ceil(em / pad_multiple)) * pad_multiple)
+    idx = np.zeros((n_robots, em), np.int32)
+    bval = np.zeros((n_robots, em), bool)
+    for r, ix in enumerate(per_robot):
+        idx[r, : len(ix)] = ix
+        bval[r, : len(ix)] = True
+    gi = jnp.asarray(idx)
+    take = lambda a: jnp.asarray(np.asarray(a))[gi]
+    return EdgeBuckets(
+        idx=gi,
+        valid=jnp.asarray(bval),
+        src_robot=take(edges.src_robot),
+        src_pose=take(edges.src_pose),
+        dst_robot=take(edges.dst_robot),
+        dst_pose=take(edges.dst_pose),
+        R=take(edges.R),
+        t=take(edges.t),
+        kappa=take(edges.kappa),
+        tau=take(edges.tau),
+    )
+
+
+def bucket_slice(buckets: EdgeBuckets, r) -> EdgeBuckets:
+    """One robot's bucket (Em, ...) — works with traced r (dynamic index)."""
+    return jax.tree_util.tree_map(lambda a: a[r], buckets)
 
 
 class RbcdConfig(NamedTuple):
@@ -125,24 +184,38 @@ def _block_cost(
     return jnp.sum(w * c)
 
 
-def block_direction(
-    Y_own: jnp.ndarray,
-    Y_all: jnp.ndarray,
-    robot: jnp.ndarray,
-    edges: PoseGraphEdges,
-    edge_weights: jnp.ndarray,
-    cfg: RbcdConfig,
+def _block_cost_bucketed(
+    Y_own: jnp.ndarray,  # (N, r, d+1)
+    Y_all: jnp.ndarray,  # (R, N, r, d+1)
+    robot: jnp.ndarray,  # scalar int
+    b: EdgeBuckets,  # one robot's slice: fields (Em, ...)
+    w: jnp.ndarray,  # (Em,) gathered edge weights
 ) -> jnp.ndarray:
-    """Newton direction for one robot's block (role of dpgo's ROPTLIB inner
-    solve per UPDATE command, drawio:2010,2513).
+    """Same cost as `_block_cost` restricted to this robot's bucket —
+    O(E_robot) instead of O(E_total)-masked."""
+    Y_fixed = jax.lax.stop_gradient(Y_all)
 
-    The lifted cost is exactly quadratic in a single block (the manifold
-    constraint is the only nonlinearity), so the unconstrained block Newton
-    system is solved matrix-free with CG (Hessian-vector products via
-    forward-over-reverse autodiff) — no ROPTLIB, no cached data matrices
-    (cf. `clearDataMatrices`, drawio:2268 — there is nothing to
-    invalidate)."""
-    cost_fn = lambda Y: _block_cost(Y, Y_all, robot, edges, edge_weights)
+    def pick(rob, idx):
+        base = Y_fixed[rob, idx]
+        mine = Y_own[idx]
+        return jnp.where((rob == robot)[..., None, None], mine, base)
+
+    Yi = pick(b.src_robot, b.src_pose)
+    Yj = pick(b.dst_robot, b.dst_pose)
+    ww = jnp.where(b.valid, w, 0.0)
+    YRi, yti = Yi[..., :3], Yi[..., 3]
+    YRj, ytj = Yj[..., :3], Yj[..., 3]
+    r_rot = YRj - jnp.einsum("erd,edf->erf", YRi, b.R)
+    r_tr = ytj - yti - jnp.einsum("erd,ed->er", YRi, b.t)
+    c = jnp.sum(r_rot * r_rot, axis=(-1, -2)) * b.kappa + jnp.sum(
+        r_tr * r_tr, axis=-1
+    ) * b.tau
+    return jnp.sum(ww * c)
+
+
+def _newton_cg(cost_fn, Y_own: jnp.ndarray, cfg: RbcdConfig) -> jnp.ndarray:
+    """Matrix-free block Newton direction via CG (Hessian-vector products
+    from forward-over-reverse autodiff)."""
     g = jax.grad(cost_fn)(Y_own)
     grad_fn = jax.grad(cost_fn)
 
@@ -164,6 +237,44 @@ def block_direction(
         0, cfg.cg_iters, cg_body, (jnp.zeros_like(b), b, b, jnp.sum(b * b))
     )
     return delta
+
+
+def block_direction_bucketed(
+    Y_own: jnp.ndarray,
+    Y_all: jnp.ndarray,
+    robot: jnp.ndarray,
+    bucket: EdgeBuckets,  # one robot's slice (Em, ...)
+    edge_weights: jnp.ndarray,  # (E_total,) flat weights
+    cfg: RbcdConfig,
+) -> jnp.ndarray:
+    """Newton direction over this robot's edge bucket only."""
+    w = edge_weights[bucket.idx]
+    cost_fn = lambda Y: _block_cost_bucketed(Y, Y_all, robot, bucket, w)
+    return _newton_cg(cost_fn, Y_own, cfg)
+
+
+def block_direction(
+    Y_own: jnp.ndarray,
+    Y_all: jnp.ndarray,
+    robot: jnp.ndarray,
+    edges: PoseGraphEdges,
+    edge_weights: jnp.ndarray,
+    cfg: RbcdConfig,
+) -> jnp.ndarray:
+    """Newton direction for one robot's block (role of dpgo's ROPTLIB inner
+    solve per UPDATE command, drawio:2010,2513).
+
+    The lifted cost is exactly quadratic in a single block (the manifold
+    constraint is the only nonlinearity), so the unconstrained block Newton
+    system is solved matrix-free with CG (Hessian-vector products via
+    forward-over-reverse autodiff) — no ROPTLIB, no cached data matrices
+    (cf. `clearDataMatrices`, drawio:2268 — there is nothing to
+    invalidate).
+
+    O(E_total) masked evaluation — prefer `block_direction_bucketed` (same
+    semantics, O(E_robot)) anywhere a bucketing is available."""
+    cost_fn = lambda Y: _block_cost(Y, Y_all, robot, edges, edge_weights)
+    return _newton_cg(cost_fn, Y_own, cfg)
 
 
 def _global_step(
@@ -211,19 +322,30 @@ def rbcd_round_reference(
     edge_weights: jnp.ndarray,
     cfg: RbcdConfig,
     poses_per_robot: int | None = None,
+    buckets: EdgeBuckets | None = None,
 ) -> jnp.ndarray:
     """Single-device reference semantics: `inner_iters` cycles of
     (parallel block Newton directions) -> (global damped step). The
-    sharded path (dist/rounds.py) must match this exactly."""
+    sharded path (dist/rounds.py) must match this exactly.
+
+    With `buckets` (from `bucket_edges`) each block direction costs
+    O(E_robot); without, the O(E_total)-masked path is used."""
     ppr = poses_per_robot if poses_per_robot is not None else Y.shape[1]
     robots = jnp.arange(Y.shape[0])
 
     def cycle(_, Yc):
-        def one(robot):
-            return block_direction(Yc[robot], Yc, robot, edges, edge_weights,
-                                   cfg)
+        if buckets is not None:
+            def one(robot, bslice):
+                return block_direction_bucketed(
+                    Yc[robot], Yc, robot, bslice, edge_weights, cfg)
 
-        deltas = jax.vmap(one)(robots)
+            deltas = jax.vmap(one)(robots, buckets)
+        else:
+            def one(robot):
+                return block_direction(Yc[robot], Yc, robot, edges,
+                                       edge_weights, cfg)
+
+            deltas = jax.vmap(one)(robots)
         deltas = jnp.where(active[:, None, None, None], deltas, 0.0)
         return _global_step(Yc, deltas, edges, edge_weights, ppr, cfg)
 
@@ -238,12 +360,14 @@ def solve_rounds(
     cfg: RbcdConfig,
     n_rounds: int = 30,
     gnc_weights: jnp.ndarray | None = None,
+    buckets: EdgeBuckets | None = None,
 ):
     """Fixed-round RBCD driver (single-device). Returns final Y."""
     w = gnc_weights if gnc_weights is not None else jnp.ones(edges.capacity)
 
     def body(Y, _):
-        Y = rbcd_round_reference(Y, active, edges, w, cfg, poses_per_robot)
+        Y = rbcd_round_reference(Y, active, edges, w, cfg, poses_per_robot,
+                                 buckets)
         return Y, lifted_cost(
             Y.reshape(-1, *Y.shape[2:]), edges, w, poses_per_robot
         )

@@ -64,6 +64,21 @@ def test_sharded_round_matches_reference():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_bucketed_round_matches_masked():
+    """O(E_robot) bucketed block updates == O(E_total) masked updates."""
+    g, params0, Y0 = _setup(seed=7, n_robots=3, n_poses=16)
+    cfg = rbcd.RbcdConfig(inner_iters=2)
+    active = jnp.ones(g.n_robots, bool)
+    w = jnp.ones(g.edges.capacity)
+    buckets = rbcd.bucket_edges(g.edges, g.n_robots)
+
+    Y_masked = rbcd.rbcd_round_reference(Y0, active, g.edges, w, cfg)
+    Y_bucketed = rbcd.rbcd_round_reference(Y0, active, g.edges, w, cfg,
+                                           buckets=buckets)
+    np.testing.assert_allclose(np.asarray(Y_bucketed), np.asarray(Y_masked),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_gnc_outlier_rejection():
     g, params0, Y0 = _setup(seed=8, n_robots=2, n_poses=32, outlier_ratio=0.3)
     cfg = rbcd.RbcdConfig(inner_iters=5)
