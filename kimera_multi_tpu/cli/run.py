@@ -50,6 +50,9 @@ def main(argv=None):
                    help="batched: two device dispatches for the whole run "
                         "(production path); sequential: per-pair host loop "
                         "(debug/reference semantics)")
+    p.add_argument("--save-obs", default=None,
+                   help="directory to dump per-robot observation streams "
+                        "(obs_robot<k>.npz) for cli/replay.py acceptance")
     args = p.parse_args(argv)
 
     import jax
@@ -111,6 +114,21 @@ def run_sim(args):
     n_acc = sum(1 for l in fe.loops)
     print(f"[run] committed loop closures: {n_acc} "
           f"(attempts {len(fe.lcd_attempts)})", file=sys.stderr)
+
+    if getattr(args, "save_obs", None):
+        from ..io import replay as replay_mod
+
+        for r in range(args.robots):
+            replay_mod.save_observations(
+                replay_mod.obs_path(args.save_obs, r),
+                replay_mod.ObservationStream(
+                    descriptors=np.asarray(world.descriptors[r]),
+                    bearings=np.asarray(world.bearings_local[r]),
+                    landmarks=np.asarray(world.landmarks_local[r]),
+                    valid=np.asarray(world.obs_valid[r]),
+                    timestamps=np.asarray(world.timestamps[r])))
+        print(f"[run] observation streams saved to {args.save_obs}",
+              file=sys.stderr)
 
     edges = fe.build_pose_graph(world.R_odo, world.t_odo)
     params0 = pgo.init_from_odometry(edges, args.robots, args.steps)
@@ -277,6 +295,15 @@ def write_logs(args, world, fe, params, weights, dpgo_rows):
             [dict(lcd_status=_status_name(lc.status), query_id=lc.frame_a,
                   match_id=lc.frame_b, mono_inliers=lc.mono_inliers,
                   stereo_inliers=lc.stereo_inliers)
+             for lc in fe.lcd_attempts if lc.robot_a == r])
+        logs.write_lcd_attempts_csv(
+            os.path.join(rdir, "distributed", "lcd_attempts.csv"),
+            [dict(robot_a=lc.robot_a, frame_a=lc.frame_a,
+                  robot_b=lc.robot_b, frame_b=lc.frame_b,
+                  lcd_status=_status_name(lc.status),
+                  mono_inliers=lc.mono_inliers,
+                  stereo_inliers=lc.stereo_inliers,
+                  norm_bow_score=lc.bow_score)
              for lc in fe.lcd_attempts if lc.robot_a == r])
         logs.write_dpgo_log_csv(
             os.path.join(rdir, "distributed", "dpgo_log_0.csv"), dpgo_rows)

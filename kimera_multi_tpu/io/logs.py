@@ -123,6 +123,27 @@ def write_lcd_result_csv(path: str, rows) -> None:
             f.write(",".join(_fmt(r[c]) for c in cols) + "\n")
 
 
+LCD_ATTEMPTS_HEADER = (
+    "robot_a,frame_a,robot_b,frame_b,lcd_status,mono_inliers,"
+    "stereo_inliers,norm_bow_score"
+)
+
+
+def write_lcd_attempts_csv(path: str, rows) -> None:
+    """Full-fidelity attempt log (framework extension, not a reference
+    format): the reference's output_lcd_status.csv has no target-robot
+    column, so inter-robot rejected attempts cannot be replayed exactly
+    from the reference schema alone. This sidecar carries the complete
+    candidate identity for bit-exact replay (io/replay.py prefers it and
+    falls back to the reference join when absent)."""
+    _ensure_dir(path)
+    cols = LCD_ATTEMPTS_HEADER.split(",")
+    with open(path, "w") as f:
+        f.write(LCD_ATTEMPTS_HEADER + "\n")
+        for r in rows:
+            f.write(",".join(_fmt(r[c]) for c in cols) + "\n")
+
+
 DPGO_LOG_HEADER = (
     "robot_id,instance,iteration,num_poses,bytes_received,"
     "iteration_time_sec,total_time_sec,rel_change,func_decrease,"
