@@ -1,16 +1,32 @@
-"""The VIO pipeline: tracking front-end + fixed-lag smoother back-end.
+"""The VIO pipeline: stereo tracking front-end + fixed-lag smoother.
 
-Role of Kimera-VIO's `Pipeline`/`MonoImuPipeline` module graph (SURVEY.md
-section 3.1: data-provider -> frontend (KLT, keyframe gates, RANSAC
-rejection) -> backend (fixed-lag smoother) -> LCD/output queues;
-images/kimera-multi.drawio:996,1406-1418,1599-1860).
+Role of Kimera-VIO's `Pipeline` module graph (SURVEY.md section 3.1:
+data-provider -> frontend (KLT tracking, keyframe gates, mono/stereo
+RANSAC outlier rejection) -> backend (fixed-lag smoother) -> LCD/output
+queues; images/kimera-multi.drawio:996,1406-1418,1599-1860). Reference
+envelope: stereo+IMU (launch/kimera_vio_jackal.launch:72-75), 300
+features/frame, pyramidal KLT win 24 x 4 levels, 5-pt mono + Arun/1-pt
+stereo rejection (params/D455/FrontendParams.yaml:3-7,15,57-66), 25-state
+horizon (BackendParams.yaml:70), radtan undistortion
+(LeftCameraParams.yaml:19-20).
 
-The reference's threaded module pipeline with bounded queues collapses to
-a host loop over jitted stages (stage fusion, SURVEY.md section 2.3 row 3);
-async dispatch gives cross-stage overlap without threads.
+TPU-native structure: the reference's threaded module pipeline with
+bounded queues collapses to a host loop over jitted stages. Everything
+per-feature is fixed-shape and masked:
 
-Keyframe gates follow FrontendParams.yaml: min/max intra-keyframe time
-0.2 / 5.0 s, disparity threshold; feature budget 300/frame.
+  * feature refill is a masked rank-assign (detections scored, distance-
+    gated against live tracks, scattered into free slots) — one jitted
+    call, no per-slot host loop;
+  * window landmarks are SLOT-tensors: a track keeps its slot for life,
+    so the smoother's (L, W) observation tensors are ring-buffer
+    transposes with an id-equality validity mask — no host-side dict
+    rebuild per keyframe. (Deviation: a slot reused inside the window
+    drops its previous occupant's observations; acceptance is by
+    trajectory accuracy, SURVEY.md section 7.4.)
+  * stereo depth enters the smoother as a range residual per observation
+    (the smart STEREO factor role, drawio:1651) and the stereo-RANSAC
+    relative pose doubles as the between-factor measurement
+    (status_pose_stereo -> backend, drawio:1848-1851).
 """
 
 from __future__ import annotations
@@ -22,7 +38,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import lie
-from . import imu as imu_mod, smoother, tracking
+from ..kernels import ransac as ransac_mod
+from ..core import rng as rngmod
+from . import descriptors as desc_mod, imu as imu_mod, smoother, tracking
+from .undistort import CameraModel, undistort_points
 
 
 class PipelineConfig(NamedTuple):
@@ -33,14 +52,76 @@ class PipelineConfig(NamedTuple):
     min_intra_keyframe_time: float = 0.2
     max_intra_keyframe_time: float = 5.0
     disparity_threshold: float = 0.5  # px mean disparity to force keyframe
-    window_size: int = 8  # sliding window (reference horizon: 25 states)
-    max_landmarks: int = 128
+    window_size: int = 25  # nr_states horizon (BackendParams.yaml:70)
+    max_features: int = 300  # maxFeaturesPerFrame
     imu_samples_per_kf: int = 128  # preintegration capacity between kfs
-    # pinhole intrinsics for bearing computation
-    fx: float = 200.0
-    fy: float = 200.0
-    cx: float = 80.0
-    cy: float = 60.0
+    cam: CameraModel = CameraModel(fx=200.0, fy=200.0, cx=80.0, cy=60.0)
+    baseline: float = 0.095  # stereo baseline (m); <= 0 disables stereo
+    min_disparity_px: float = 0.25  # stereo acceptance gate
+    epipolar_tol_px: float = 2.0  # |v_left - v_right| stereo gate
+    disparity_sigma_px: float = 0.5  # KLT disparity noise for depth sigma
+    # outlier rejection (FrontendParams.yaml:57-66)
+    ransac_mono_threshold: float = 1e-6
+    ransac_stereo_threshold: float = 0.8
+    ransac_iterations: int = 500
+    ransac_use_1point_stereo: bool = False
+    use_5pt_mono: bool = False  # 8-pt default; 5-pt available
+    min_mono_inliers: int = 10
+    min_stereo_inliers: int = 5
+    # attitude init: accelerometer gravity alignment (the reference's
+    # autoInitialize path) — biased under sustained initial acceleration;
+    # disable when an external/ground-truth initial attitude is given
+    # (the reference's initial_ground_truth_state mode)
+    gravity_align: bool = True
+    base_seed: int = 0
+
+    @classmethod
+    def from_params_folder(cls, folder: str, **overrides):
+        """Build the config from a reference params folder (params/D455):
+        LeftCameraParams intrinsics/distortion, FrontendParams tracking +
+        rejection envelope, BackendParams horizon."""
+        import os
+
+        from ..io.config import load_opencv_yaml
+
+        cam_y = load_opencv_yaml(os.path.join(folder,
+                                              "LeftCameraParams.yaml"))
+        fe = load_opencv_yaml(os.path.join(folder, "FrontendParams.yaml"))
+        be = load_opencv_yaml(os.path.join(folder, "BackendParams.yaml"))
+        intr = cam_y.get("intrinsics", [380.0, 380.0, 320.0, 240.0])
+        dist = cam_y.get("distortion_coefficients", [0.0, 0.0, 0.0, 0.0])
+        cam = CameraModel(fx=float(intr[0]), fy=float(intr[1]),
+                          cx=float(intr[2]), cy=float(intr[3]),
+                          k1=float(dist[0]), k2=float(dist[1]),
+                          p1=float(dist[2]), p2=float(dist[3]))
+        kw = dict(
+            cam=cam,
+            klt=tracking.KltParams(
+                win_size=int(fe.get("klt_win_size", 24)),
+                max_iter=int(fe.get("klt_max_iter", 30)),
+                max_level=int(fe.get("klt_max_level", 4)),
+                eps=float(fe.get("klt_eps", 0.1))),
+            gftt=tracking.GfttParams(
+                max_features=int(fe.get("maxFeaturesPerFrame", 300)),
+                quality_level=float(fe.get("quality_level", 0.001)),
+                min_distance=int(fe.get("min_distance", 20))),
+            max_features=int(fe.get("maxFeaturesPerFrame", 300)),
+            min_intra_keyframe_time=float(
+                fe.get("min_intra_keyframe_time", 0.2)),
+            max_intra_keyframe_time=float(
+                fe.get("max_intra_keyframe_time", 5.0)),
+            disparity_threshold=float(fe.get("disparityThreshold", 0.5)),
+            window_size=int(be.get("nr_states", 25)),
+            ransac_mono_threshold=float(
+                fe.get("ransac_threshold_mono", 1e-6)),
+            ransac_stereo_threshold=float(
+                fe.get("ransac_threshold_stereo", 0.8)),
+            ransac_iterations=int(fe.get("ransac_max_iterations", 500)),
+            ransac_use_1point_stereo=bool(
+                fe.get("ransac_use_1point_stereo", 0)),
+        )
+        kw.update(overrides)
+        return cls(**kw)
 
 
 class KeyframeOutput(NamedTuple):
@@ -51,71 +132,225 @@ class KeyframeOutput(NamedTuple):
     t: np.ndarray
     v: np.ndarray
     track_ids: np.ndarray  # (N,) persistent feature ids (-1 invalid)
-    pts: np.ndarray  # (N, 2) pixel positions
-    bearings: np.ndarray  # (N, 3)
+    pts: np.ndarray  # (N, 2) pixel positions (distorted/raw)
+    bearings: np.ndarray  # (N, 3) undistorted unit bearings
+    landmarks: np.ndarray  # (N, 3) cam-frame 3D from stereo (0 if invalid)
+    lm_valid: np.ndarray  # (N,)
+    descriptors: np.ndarray  # (N, 32) uint8
+    valid: np.ndarray  # (N,) feature liveness after rejection
+    mono_inliers: int
+    stereo_inliers: int
+    n_rejected: int
+
+
+class RejectionStats(NamedTuple):
+    mono_inliers: int = 0
+    stereo_inliers: int = 0
+    n_corresp: int = 0
+    n_rejected: int = 0
 
 
 class VioPipeline:
-    """Host-driven monocular-inertial odometry over jitted stages."""
+    """Host-driven stereo(+mono)-inertial odometry over jitted stages."""
 
     def __init__(self, cfg: PipelineConfig = PipelineConfig()):
         self.cfg = cfg
+        N = cfg.max_features
+        W = cfg.window_size
         self.prev_img = None
         self.prev_ts = None
         self.last_kf_ts = None
-        self.pts = None  # (N, 2)
-        self.track_ids = None
-        self.valid = None
+        self.pts = np.zeros((N, 2), np.float32)
+        self.track_ids = np.full(N, -1, np.int64)
+        self.valid = np.zeros(N, bool)
         self.next_id = 0
         self.imu_buf: list = []  # (ts, gyro, accel) since last keyframe
-        # window state
-        W = cfg.window_size
-        self.win_states: list = []  # list of dicts per keyframe
+        # window ring buffers (slot-tensors)
+        self.win_bear = np.zeros((W, N, 3), np.float32)
+        self.win_tids = np.full((W, N), -1, np.int64)
+        self.win_valid = np.zeros((W, N), bool)
+        self.win_depth = np.zeros((W, N), np.float32)
+        self.win_depth_sig = np.full((W, N), 1.0, np.float32)
+        self.win_depth_valid = np.zeros((W, N), bool)
+        self.win_odo_R = np.tile(np.eye(3, dtype=np.float32), (W - 1, 1, 1))
+        self.win_odo_t = np.zeros((W - 1, 3), np.float32)
+        self.win_odo_valid = np.zeros(W - 1, bool)
         self.win_pre: list = []
         self.keyframes: list[KeyframeOutput] = []
-        self.obs: dict[int, list] = {}  # track_id -> [(kf_idx, bearing)]
+        self.rejection_log: list[RejectionStats] = []
+        self._last_accel_mean = None
+        self._ext_odo = None
+
         self._klt = jax.jit(
             lambda i0, i1, p, v: tracking.klt_track(i0, i1, p, v, cfg.klt))
         self._gftt = jax.jit(
             lambda img: tracking.gftt_detect(img, cfg.gftt))
+        self._describe = jax.jit(desc_mod.describe)
+        self._refill = self._build_refill()
+        self._bearing = self._build_bearing()
+        self._stereo = self._build_stereo()
+        self._reject = self._build_reject()
+        self._smooth = jax.jit(
+            lambda st, win: smoother.solve_window(st, win, cfg.vio))
+
+    # ------------------------------------------------------------------
+    def _build_bearing(self):
+        cam = self.cfg.cam
+
+        @jax.jit
+        def bearing(pts):
+            has_dist = any(abs(k) > 0 for k in (cam.k1, cam.k2, cam.p1,
+                                                cam.p2))
+            und = undistort_points(pts, cam) if has_dist else pts
+            x = (und[:, 0] - cam.cx) / cam.fx
+            y = (und[:, 1] - cam.cy) / cam.fy
+            b = jnp.stack([x, y, jnp.ones_like(x)], -1)
+            return b / jnp.linalg.norm(b, axis=1, keepdims=True)
+
+        return bearing
+
+    def _build_stereo(self):
+        cfg = self.cfg
+        cam = cfg.cam
+
+        @jax.jit
+        def stereo(left, right, pts, valid):
+            """Left->right KLT; disparity -> depth -> cam-frame 3D."""
+            pts_r, ok = tracking.klt_track(left, right, pts, valid, cfg.klt)
+            disp = pts[:, 0] - pts_r[:, 0]
+            vdiff = jnp.abs(pts[:, 1] - pts_r[:, 1])
+            good = (ok & valid & (disp > cfg.min_disparity_px)
+                    & (vdiff < cfg.epipolar_tol_px))
+            z = cam.fx * cfg.baseline / jnp.maximum(disp,
+                                                    cfg.min_disparity_px)
+            bear = self._bearing(pts)
+            # range along the bearing s.t. the z-component equals depth z
+            rng = z / jnp.maximum(bear[:, 2], 1e-3)
+            lm = bear * rng[:, None]
+            return jnp.where(good[:, None], lm, 0.0), rng, good
+
+        return stereo
+
+    def _build_refill(self):
+        cfg = self.cfg
+        min_d2 = float(cfg.gftt.min_distance) ** 2
+
+        @jax.jit
+        def refill(pts, valid, tids, det_pts, det_scores, det_valid,
+                   next_id):
+            """Masked rank-assign: best detections far from live tracks
+            fill free slots (replaces the reference's per-feature host
+            fill loop with one fixed-shape batch)."""
+            d2 = jnp.sum((det_pts[:, None, :] - pts[None, :, :]) ** 2, -1)
+            near_live = jnp.any((d2 < min_d2) & valid[None, :], axis=1)
+            ok = det_valid & ~near_live
+            score = jnp.where(ok, det_scores, -jnp.inf)
+            order = jnp.argsort(-score)  # ok candidates first, best first
+            n_cand = jnp.sum(ok)
+            free = ~valid
+            free_rank = jnp.cumsum(free) - 1  # rank among free slots
+            D = det_pts.shape[0]
+            take = free & (free_rank < n_cand) & (free_rank < D)
+            src = jnp.clip(free_rank, 0, D - 1)
+            new_pts = jnp.where(take[:, None], det_pts[order][src], pts)
+            new_ids = jnp.where(take, next_id + free_rank, tids)
+            n_new = jnp.minimum(jnp.sum(free), n_cand)
+            return new_pts, valid | take, new_ids, n_new
+
+        return refill
+
+    def _build_reject(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def reject(key, bear_prev, bear_cur, lm_prev, lm_cur, lm_ok,
+                   corresp, R_imu, use_imu_rot):
+            """Per-keyframe outlier rejection (outlierRejectionMono /
+            outlierRejectionStereo, drawio:1766,1787-1846): mono essential
+            RANSAC over bearing correspondences, then 3d3d RANSAC (Arun,
+            or 1-pt translation when the IMU rotation is trusted) over
+            stereo landmarks. Returns keep-mask + relative pose."""
+            kmono = rngmod.derive(key, rngmod.Stream.RANSAC_MONO)
+            mono_fn = (ransac_mod.ransac_essential_5pt if cfg.use_5pt_mono
+                       else ransac_mod.ransac_essential)
+            mono = mono_fn(kmono, bear_prev, bear_cur, corresp,
+                           threshold=cfg.ransac_mono_threshold,
+                           n_hyp=cfg.ransac_iterations,
+                           min_inliers=cfg.min_mono_inliers)
+            kst = rngmod.derive(key, rngmod.Stream.RANSAC_STEREO)
+            both3d = corresp & lm_ok
+            st_full = ransac_mod.ransac_arun(
+                kst, lm_prev, lm_cur, both3d,
+                threshold=cfg.ransac_stereo_threshold,
+                n_hyp=cfg.ransac_iterations,
+                min_inliers=cfg.min_stereo_inliers)
+            st_1pt = ransac_mod.ransac_translation_known_rotation(
+                kst, lm_prev, lm_cur, R_imu, both3d,
+                threshold=cfg.ransac_stereo_threshold,
+                min_inliers=cfg.min_stereo_inliers)
+            pick_1pt = use_imu_rot & jnp.asarray(
+                cfg.ransac_use_1point_stereo)
+            st = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(pick_1pt, a, b), st_1pt, st_full)
+            # drop features that are correspondences but not inliers of
+            # the mono gate (and of the stereo gate where 3D is present).
+            # Only reject when the model itself validated: a failed gate
+            # means a degenerate geometry (near-zero translation makes E
+            # undefined — the reference's LOW_DISPARITY path,
+            # drawio:1657-1674), not that every feature is an outlier.
+            keep = jnp.where(corresp & mono["ok"], mono["inliers"], True)
+            keep = keep & jnp.where(both3d & st["ok"], st["inliers"], True)
+            # T^{cur}_{prev} from Arun (q = R p + t) -> between-factor
+            # measurement T^{prev}_{cur}
+            R_rel, t_rel = lie.se3_inverse(st["R"], st["t"])
+            return {
+                "keep": keep,
+                "mono_inliers": mono["n_inliers"],
+                "stereo_inliers": st["n_inliers"],
+                "mono_ok": mono["ok"],
+                "stereo_ok": st["ok"],
+                "R_rel": R_rel,
+                "t_rel": t_rel,
+            }
+
+        return reject
 
     # ------------------------------------------------------------------
     def add_imu(self, ts: float, gyro, accel) -> None:
         self.imu_buf.append((ts, np.asarray(gyro, np.float32),
                              np.asarray(accel, np.float32)))
 
-    def _bearing(self, pts: np.ndarray) -> np.ndarray:
-        c = self.cfg
-        x = (pts[:, 0] - c.cx) / c.fx
-        y = (pts[:, 1] - c.cy) / c.fy
-        b = np.stack([x, y, np.ones_like(x)], -1)
-        return (b / np.linalg.norm(b, axis=1, keepdims=True)).astype(
-            np.float32)
+    def add_external_odometry(self, R_rel, t_rel) -> None:
+        """Relative pose of the NEXT keyframe in the previous keyframe's
+        body frame, from an external odometry source (the reference's
+        odom_body_pose -> addBetweenFactor path, drawio:1497)."""
+        self._ext_odo = (np.asarray(R_rel, np.float32),
+                         np.asarray(t_rel, np.float32))
 
-    def process_frame(self, ts: float, img: np.ndarray):
+    def process_frame(self, ts: float, left: np.ndarray,
+                      right: np.ndarray | None = None):
         """Returns a KeyframeOutput when this frame becomes a keyframe."""
         cfg = self.cfg
-        imgj = jnp.asarray(img, jnp.float32)
+        imgj = jnp.asarray(left, jnp.float32)
         if self.prev_img is None:
-            # bootstrap: detect features, first keyframe
-            pts, scores, valid = self._gftt(imgj)
+            pts, scores, det_valid = self._gftt(imgj)
             self.pts = np.array(pts)
-            self.valid = np.asarray(valid)
+            self.valid = np.asarray(det_valid)
             self.track_ids = np.where(
                 self.valid, np.arange(len(self.pts)) + self.next_id, -1)
             self.next_id += int(self.valid.sum())
             self.prev_img = imgj
             self.prev_ts = ts
             self.last_kf_ts = ts
-            return self._make_keyframe(ts)
+            return self._make_keyframe(ts, imgj, right)
 
-        # KLT track from previous frame
-        pts1, tracked = self._klt(self.prev_img, imgj, jnp.asarray(self.pts),
+        pts1, tracked = self._klt(self.prev_img, imgj,
+                                  jnp.asarray(self.pts),
                                   jnp.asarray(self.valid))
-        pts1 = np.array(pts1)  # writable copy (np.asarray views jax buffers)
+        pts1 = np.array(pts1)
         tracked = np.asarray(tracked) & self.valid
-        disparity = np.linalg.norm(
-            (pts1 - self.pts)[tracked], axis=1).mean() if tracked.any() else 0.0
+        disparity = (np.linalg.norm((pts1 - self.pts)[tracked], axis=1)
+                     .mean() if tracked.any() else 0.0)
         self.pts = pts1
         self.valid = tracked
         self.track_ids = np.where(tracked, self.track_ids, -1)
@@ -128,59 +363,145 @@ class VioPipeline:
                   or dt_kf >= cfg.max_intra_keyframe_time))
         if not is_kf:
             return None
-
-        # refill features to budget before emitting the keyframe
-        pts_new, scores, valid_new = self._gftt(imgj)
-        pts_new, valid_new = np.asarray(pts_new), np.asarray(valid_new)
-        free = ~self.valid
-        take = 0
-        for i in np.nonzero(free)[0]:
-            # fill free slots with detections away from existing tracks
-            while take < len(pts_new):
-                cand = pts_new[take]
-                okc = valid_new[take]
-                take += 1
-                if not okc:
-                    continue
-                d = np.linalg.norm(self.pts[self.valid] - cand, axis=1)
-                if len(d) == 0 or d.min() > cfg.gftt.min_distance:
-                    self.pts[i] = cand
-                    self.valid[i] = True
-                    self.track_ids[i] = self.next_id
-                    self.next_id += 1
-                    break
-            else:
-                break
         self.last_kf_ts = ts
-        return self._make_keyframe(ts)
+        return self._make_keyframe(ts, imgj, right)
 
     # ------------------------------------------------------------------
-    def _make_keyframe(self, ts: float):
+    def _preintegrate_buffer(self, prev_ts: float):
+        S = self.cfg.imu_samples_per_kf
+        gyro = np.zeros((S, 3), np.float32)
+        accel = np.zeros((S, 3), np.float32)
+        dts = np.zeros(S, np.float32)
+        buf = self.imu_buf[:S]
+        t_prev = prev_ts
+        for i, (tsi, g, a) in enumerate(buf):
+            gyro[i], accel[i] = g, a
+            dts[i] = max(tsi - t_prev, 0.0)
+            t_prev = tsi
+        self._last_accel_mean = accel[: len(buf)].mean(0) if buf else None
+        self.imu_buf = []
+        return imu_mod.preintegrate(
+            jnp.asarray(gyro), jnp.asarray(accel), jnp.asarray(dts),
+            jnp.zeros(3), jnp.zeros(3), self.cfg.imu)
+
+    def _make_keyframe(self, ts: float, imgj, right):
         cfg = self.cfg
         kf_idx = len(self.keyframes)
-        bear = self._bearing(self.pts)
-        # preintegrate IMU since previous keyframe
-        if kf_idx > 0 and self.imu_buf:
-            S = cfg.imu_samples_per_kf
-            gyro = np.zeros((S, 3), np.float32)
-            accel = np.zeros((S, 3), np.float32)
-            dts = np.zeros(S, np.float32)
-            buf = self.imu_buf[:S]
-            for i, (tsi, g, a) in enumerate(buf):
-                gyro[i], accel[i] = g, a
-                prev_t = buf[i - 1][0] if i > 0 else self.keyframes[-1].timestamp
-                dts[i] = max(tsi - prev_t, 0.0)
-            pre = imu_mod.preintegrate(
-                jnp.asarray(gyro), jnp.asarray(accel), jnp.asarray(dts),
-                jnp.zeros(3), jnp.zeros(3), cfg.imu)
-        else:
-            pre = None
-        self.imu_buf = []
+        N = cfg.max_features
 
-        # propagate pose guess from last state + preintegration
+        # IMU preintegration since the previous keyframe
+        pre = None
+        if kf_idx > 0 and self.imu_buf:
+            pre = self._preintegrate_buffer(self.keyframes[-1].timestamp)
+
+        # gravity alignment at bootstrap (the reference's
+        # InitialTimeAlignment / attitude init, drawio:1406-1418): a
+        # near-static accelerometer measures f = -R^T g, so the first
+        # keyframe's attitude maps the mean specific force to +|g| z_world
+        if kf_idx == 1 and cfg.gravity_align and pre is not None and \
+                self._last_accel_mean is not None:
+            f = self._last_accel_mean
+            fn = f / max(np.linalg.norm(f), 1e-6)
+            z = np.asarray([0.0, 0.0, 1.0], np.float32)  # -GRAVITY dir
+            axis = np.cross(fn, z)
+            s = np.linalg.norm(axis)
+            c = float(fn @ z)
+            if s > 1e-8:
+                w = axis / s * np.arctan2(s, c)
+                R0g = np.asarray(lie.so3_exp(jnp.asarray(
+                    w, jnp.float32)))
+            else:
+                R0g = (np.eye(3, dtype=np.float32) if c > 0
+                       else np.diag([1.0, -1.0, -1.0]).astype(np.float32))
+            self.keyframes[0] = self.keyframes[0]._replace(
+                R=R0g @ self.keyframes[0].R)
+
+        # ---- outlier rejection vs the previous keyframe ---------------
+        stats = RejectionStats()
+        odo = None
+        if kf_idx > 0:
+            prev = self.keyframes[-1]
+            corresp = (self.valid & prev.valid
+                       & (self.track_ids == prev.track_ids)
+                       & (self.track_ids >= 0))
+            bear_cur = np.asarray(self._bearing(jnp.asarray(self.pts)))
+            if int(corresp.sum()) >= 8:
+                lm_cur3, _, lm_ok_cur = (
+                    self._stereo(imgj, jnp.asarray(right, jnp.float32),
+                                 jnp.asarray(self.pts),
+                                 jnp.asarray(self.valid))
+                    if right is not None and cfg.baseline > 0
+                    else (jnp.zeros((N, 3)), None, jnp.zeros(N, bool)))
+                key = rngmod.derive(rngmod.base_key(cfg.base_seed),
+                                    rngmod.Stream.VIO, kf_idx)
+                R_imu = (jnp.asarray(pre.dR) if pre is not None
+                         else jnp.eye(3))
+                out = self._reject(
+                    key, jnp.asarray(prev.bearings), jnp.asarray(bear_cur),
+                    jnp.asarray(prev.landmarks), lm_cur3,
+                    jnp.asarray(prev.lm_valid) & lm_ok_cur,
+                    jnp.asarray(corresp), R_imu,
+                    jnp.asarray(pre is not None))
+                keep = np.asarray(out["keep"])
+                n_rej = int((corresp & ~keep).sum())
+                self.valid = self.valid & keep
+                self.track_ids = np.where(self.valid, self.track_ids, -1)
+                stats = RejectionStats(
+                    mono_inliers=int(out["mono_inliers"]),
+                    stereo_inliers=int(out["stereo_inliers"]),
+                    n_corresp=int(corresp.sum()), n_rejected=n_rej)
+                # NOTE: the stereo-RANSAC pose is used for rejection and
+                # bootstrap only — NOT as a between factor. Stereo-depth
+                # point clouds at range make Arun poses far noisier than
+                # the bearing+depth factors; the reference likewise feeds
+                # addBetweenFactor from EXTERNAL odometry only
+                # (drawio:1497), which enters via add_external_odometry().
+                if bool(out["stereo_ok"]):
+                    odo = (np.asarray(out["R_rel"]),
+                           np.asarray(out["t_rel"]))
+        self.rejection_log.append(stats)
+
+        # velocity bootstrap: the first keyframe's velocity is unknown
+        # (reference: initial alignment phase, drawio:1406-1418); estimate
+        # it from the first stereo-RANSAC relative pose
+        if kf_idx == 1 and odo is not None:
+            dt_b = max(ts - self.keyframes[0].timestamp, 1e-3)
+            v_boot = (self.keyframes[0].R @ odo[1] / dt_b).astype(
+                np.float32)
+            self.keyframes[0] = self.keyframes[0]._replace(v=v_boot)
+
+        # ---- refill to budget (masked rank-assign) ---------------------
+        det_pts, det_scores, det_valid = self._gftt(imgj)
+        new_pts, new_valid, new_ids, n_new = self._refill(
+            jnp.asarray(self.pts), jnp.asarray(self.valid),
+            jnp.asarray(self.track_ids), det_pts, det_scores, det_valid,
+            jnp.asarray(self.next_id, jnp.int32))
+        self.pts = np.array(new_pts)
+        self.valid = np.asarray(new_valid)
+        self.track_ids = np.asarray(new_ids)
+        self.next_id += int(n_new)
+
+        # ---- stereo depth + bearings + descriptors at the keyframe ----
+        bear = np.asarray(self._bearing(jnp.asarray(self.pts)))
+        if right is not None and cfg.baseline > 0:
+            lm, rng_depth, lm_ok = self._stereo(
+                imgj, jnp.asarray(right, jnp.float32),
+                jnp.asarray(self.pts), jnp.asarray(self.valid))
+            lm = np.asarray(lm)
+            rng_depth = np.asarray(rng_depth)
+            lm_ok = np.asarray(lm_ok)
+        else:
+            lm = np.zeros((N, 3), np.float32)
+            rng_depth = np.zeros(N, np.float32)
+            lm_ok = np.zeros(N, bool)
+        desc = np.asarray(self._describe(imgj, jnp.asarray(self.pts),
+                                         jnp.asarray(self.valid)))
+
+        # ---- pose guess from IMU propagation ---------------------------
         if kf_idx == 0:
-            R0, t0, v0 = np.eye(3, dtype=np.float32), np.zeros(3, np.float32), \
-                np.zeros(3, np.float32)
+            R0 = np.eye(3, dtype=np.float32)
+            t0 = np.zeros(3, np.float32)
+            v0 = np.zeros(3, np.float32)
         else:
             prev = self.keyframes[-1]
             if pre is not None:
@@ -192,83 +513,135 @@ class VioPipeline:
                       + prev.R @ np.asarray(pre.dp))
             else:
                 R0, t0, v0 = prev.R, prev.t, prev.v
+
         kf = KeyframeOutput(
             timestamp=ts, R=np.asarray(R0, np.float32),
             t=np.asarray(t0, np.float32), v=np.asarray(v0, np.float32),
             track_ids=self.track_ids.copy(), pts=self.pts.copy(),
-            bearings=bear)
+            bearings=bear, landmarks=lm, lm_valid=lm_ok & self.valid,
+            descriptors=desc, valid=self.valid.copy(),
+            mono_inliers=stats.mono_inliers,
+            stereo_inliers=stats.stereo_inliers,
+            n_rejected=stats.n_rejected)
         self.keyframes.append(kf)
         self.win_pre.append(pre)
-        for slot, tid in enumerate(self.track_ids):
-            if tid >= 0 and self.valid[slot]:
-                self.obs.setdefault(int(tid), []).append((kf_idx, bear[slot]))
 
-        # run the smoother over the trailing window
+        # ---- push the slot row into the window ring buffers ------------
+        W = cfg.window_size
+        if kf_idx >= W:
+            self.win_bear[:-1] = self.win_bear[1:]
+            self.win_tids[:-1] = self.win_tids[1:]
+            self.win_valid[:-1] = self.win_valid[1:]
+            self.win_depth[:-1] = self.win_depth[1:]
+            self.win_depth_sig[:-1] = self.win_depth_sig[1:]
+            self.win_depth_valid[:-1] = self.win_depth_valid[1:]
+            slot = W - 1
+        else:
+            slot = kf_idx
+        self.win_bear[slot] = bear
+        self.win_tids[slot] = np.where(self.valid, self.track_ids, -1)
+        self.win_valid[slot] = self.valid
+        self.win_depth[slot] = rng_depth
+        # stereo range noise: sigma_Z = sigma_disp * Z^2 / (fx * b)
+        fxb = max(cfg.cam.fx * cfg.baseline, 1e-6)
+        self.win_depth_sig[slot] = np.maximum(
+            cfg.disparity_sigma_px * rng_depth * rng_depth / fxb,
+            cfg.vio.depth_sigma)
+        self.win_depth_valid[slot] = lm_ok & self.valid
+        if kf_idx >= 1:
+            if kf_idx >= W:
+                self.win_odo_R[:-1] = self.win_odo_R[1:]
+                self.win_odo_t[:-1] = self.win_odo_t[1:]
+                self.win_odo_valid[:-1] = self.win_odo_valid[1:]
+                eslot = W - 2
+            else:
+                eslot = kf_idx - 1
+            if self._ext_odo is not None:
+                self.win_odo_R[eslot], self.win_odo_t[eslot] = self._ext_odo
+                self.win_odo_valid[eslot] = True
+                self._ext_odo = None
+            else:
+                self.win_odo_R[eslot] = np.eye(3, dtype=np.float32)
+                self.win_odo_valid[eslot] = False
+
         if kf_idx >= 1:
             self._optimize_window()
         return self.keyframes[-1]
 
+    # ------------------------------------------------------------------
     def _optimize_window(self):
         cfg = self.cfg
-        W = min(cfg.window_size, len(self.keyframes))
-        base = len(self.keyframes) - W
+        Wn = min(cfg.window_size, len(self.keyframes))
+        base = len(self.keyframes) - Wn
         kfs = self.keyframes[base:]
-        pres = self.win_pre[base + 1 : base + W]
-        if any(p is None for p in pres) or len(pres) != W - 1:
-            imu_valid = np.asarray([p is not None for p in pres])
-            pres = [p if p is not None else _dummy_pre() for p in pres]
-        else:
-            imu_valid = np.ones(W - 1, bool)
+        pres = self.win_pre[base + 1: base + Wn]
+        imu_valid = np.asarray([p is not None for p in pres])
+        pres = [p if p is not None else _dummy_pre() for p in pres]
         pre = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *pres)
 
-        # landmarks with >= 2 obs inside the window
-        L = cfg.max_landmarks
-        bear = np.zeros((L, W, 3), np.float32)
-        ovalid = np.zeros((L, W), bool)
-        li = 0
-        for tid, obs in self.obs.items():
-            inwin = [(k - base, b) for k, b in obs if k >= base]
-            if len(inwin) < 2:
-                continue
-            if li >= L:
-                break
-            for k, b in inwin:
-                bear[li, k] = b
-                ovalid[li, k] = True
-            li += 1
+        # landmark tensors: unique track ids across the window with >= 2
+        # observations (dead tracks keep their history, exactly like the
+        # reference's smart factors), gathered into fixed (L, W) tensors
+        # with one vectorized match — no per-landmark host dict
+        wb = self.win_bear[:Wn]
+        wt = self.win_tids[:Wn]
+        wv = self.win_valid[:Wn]
+        wd = self.win_depth[:Wn]
+        wds = self.win_depth_sig[:Wn]
+        wdv = self.win_depth_valid[:Wn]
+        L = self.cfg.max_features
+        flat = np.where(wv, wt, -1).reshape(-1)
+        ids, counts = np.unique(flat[flat >= 0], return_counts=True)
+        ids = ids[counts >= 2]
+        counts = counts[counts >= 2]
+        if len(ids) > L:
+            keep = np.argsort(-counts)[:L]
+            ids = ids[keep]
+        sel = np.full(L, -2, wt.dtype)  # -2 never matches a track id
+        sel[: len(ids)] = ids
+        match = (wt[None] == sel[:, None, None]) & wv[None]  # (L, W, N)
+        has = match.any(-1)  # (L, W)
+        slot = match.argmax(-1)  # (L, W)
+        frames = np.arange(Wn)[None, :]
+        bear_lw = wb[frames, slot]  # (L, W, 3)
+        dep_lw = wd[frames, slot]
+        dsig_lw = wds[frames, slot]
+        dval_lw = wdv[frames, slot] & has
+        obs_valid = has
 
         state0 = smoother.VioState(
             R=jnp.asarray(np.stack([k.R for k in kfs])),
             t=jnp.asarray(np.stack([k.t for k in kfs])),
             v=jnp.asarray(np.stack([k.v for k in kfs])),
-            bg=jnp.zeros((W, 3)),
-            ba=jnp.zeros((W, 3)),
+            bg=jnp.zeros((Wn, 3)),
+            ba=jnp.zeros((Wn, 3)),
         )
         win = smoother.VioWindow(
             pre=pre,
             imu_valid=jnp.asarray(imu_valid),
-            bearings=jnp.asarray(bear),
-            obs_valid=jnp.asarray(ovalid),
-            odo_R=jnp.broadcast_to(jnp.eye(3), (W - 1, 3, 3)),
-            odo_t=jnp.zeros((W - 1, 3)),
-            odo_valid=jnp.zeros(W - 1, bool),
-            zero_vel=jnp.zeros(W, bool),
+            bearings=jnp.asarray(bear_lw),  # (L, W, 3)
+            obs_valid=jnp.asarray(obs_valid),  # (L, W)
+            odo_R=jnp.asarray(self.win_odo_R[:Wn - 1]),
+            odo_t=jnp.asarray(self.win_odo_t[:Wn - 1]),
+            odo_valid=jnp.asarray(self.win_odo_valid[:Wn - 1]),
+            zero_vel=jnp.zeros(Wn, bool),
             anchor=smoother.VioState(
                 R=state0.R[:1], t=state0.t[:1], v=state0.v[:1],
                 bg=state0.bg[:1], ba=state0.ba[:1]),
+            depths=jnp.asarray(dep_lw),
+            depth_valid=jnp.asarray(dval_lw),
+            depth_sigmas=jnp.asarray(dsig_lw),
         )
-        solved = smoother.solve_window(state0, win, cfg.vio)
+        solved = self._smooth(state0, win)
         R_s = np.asarray(solved.R)
         t_s = np.asarray(solved.t)
         v_s = np.asarray(solved.v)
-        for i, k in enumerate(range(base, base + W)):
+        for i, k in enumerate(range(base, base + Wn)):
             self.keyframes[k] = self.keyframes[k]._replace(
                 R=R_s[i], t=t_s[i], v=v_s[i])
 
 
 def _dummy_pre():
-    import jax.numpy as jnp
-
     return imu_mod.Preintegrated(
         dR=jnp.eye(3), dv=jnp.zeros(3), dp=jnp.zeros(3),
         dt=jnp.asarray(0.0), dR_dbg=jnp.zeros((3, 3)),

@@ -59,6 +59,14 @@ class VioWindow(NamedTuple):
     zero_vel: jnp.ndarray  # (W,) bool
     # anchor (marginalization prior) values for state 0
     anchor: VioState  # leaves with leading dim 1
+    # stereo range of each observation (None = mono window): constrains
+    # scale like the reference's smart STEREO factors (drawio:1651)
+    depths: jnp.ndarray | None = None  # (L, W) range along the bearing
+    depth_valid: jnp.ndarray | None = None  # (L, W)
+    # per-observation range sigma (stereo depth noise grows ~ Z^2/(fx b);
+    # a scalar sigma over-trusts far points) — falls back to
+    # cfg.depth_sigma when None
+    depth_sigmas: jnp.ndarray | None = None  # (L, W)
 
 
 class VioConfig(NamedTuple):
@@ -69,20 +77,34 @@ class VioConfig(NamedTuple):
     bias_rw_sigma: float = 1e-3
     zero_vel_sigma: float = 1e-2
     anchor_pose_sigma: float = 1e-3
-    anchor_vel_sigma: float = 0.1  # loose: velocity is not a gauge freedom
+    # roll/pitch are OBSERVABLE (gravity), not gauge freedoms: anchoring
+    # them tight would lock in any attitude-bootstrap error (alignment
+    # under initial acceleration is biased); only position + yaw are
+    # gauge and get the tight sigma
+    anchor_rp_sigma: float = 0.1
+    anchor_vel_sigma: float = 1.0  # loose: velocity is not a gauge freedom
     anchor_bias_sigma: float = 1e-2
+    depth_sigma: float = 0.15  # stereo range residual sigma (m)
+    step_trials: int = 6  # damped-step ladder per GN iteration
     gn_iters: int = 5
     cg_iters: int = 30
     damping: float = 1e-6
 
 
 def triangulate(bearings: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
-                valid: jnp.ndarray):
-    """Linear midpoint triangulation of one landmark from world-frame rays.
+                valid: jnp.ndarray,
+                depths: jnp.ndarray | None = None,
+                depth_w: jnp.ndarray | None = None):
+    """Linear midpoint triangulation of one landmark from world-frame rays,
+    optionally fused with stereo range pseudo-observations.
 
     bearings: (W, 3) camera-frame unit bearings; R, t: (W, 3, 3/3) camera
     poses (world <- cam); valid: (W,). Solves
-    sum_k (I - d_k d_k^T) (X - t_k) = 0 with d_k = R_k b_k.
+    sum_k (I - d_k d_k^T) (X - t_k) + sum_k w_k (X - (t_k + dep_k d_k)) = 0
+    with d_k = R_k b_k. The depth terms bound the along-ray direction,
+    which pure multi-view triangulation leaves unconstrained for
+    low-parallax landmarks (points near the epipole under forward motion
+    otherwise explode to spurious far ranges).
 
     Returns (X (3,), ok) — ok False with < 2 valid rays or ill-conditioned
     normal matrix.
@@ -92,6 +114,10 @@ def triangulate(bearings: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
     P = (jnp.eye(3)[None] - d[:, :, None] * d[:, None, :]) * w[:, None, None]
     A = jnp.sum(P, axis=0)
     b = jnp.einsum("kij,kj->i", P, t)
+    if depths is not None:
+        dw = (depth_w * w) if depth_w is not None else w
+        A = A + jnp.sum(dw) * jnp.eye(3)
+        b = b + jnp.einsum("k,ki->i", dw, t + depths[:, None] * d)
     # 3x3 solve via analytic inverse (adjugate)
     detA = jnp.linalg.det(A)
     ok = (jnp.sum(valid) >= 2) & (jnp.abs(detA) > 1e-8)
@@ -126,20 +152,40 @@ def residuals(state: VioState, win: VioWindow, cfg: VioConfig) -> jnp.ndarray:
     parts.append((dba * mask).reshape(-1))
 
     # ---- structureless landmark factors ------------------------------
-    def lm_res(bear, ovalid):
-        X, ok = triangulate(bear, state.R, state.t, ovalid)
+    have_depth = win.depths is not None
+
+    def lm_res(bear, ovalid, dep, dvalid, dsig):
+        # depth pseudo-observation weight: ratio of the bearing factor's
+        # positional noise (dep * proj_sigma) to the range noise
+        dw = jnp.where(dvalid, (dep * cfg.proj_sigma / dsig) ** 2, 0.0)
+        X, ok = triangulate(bear, state.R, state.t, ovalid,
+                            depths=dep, depth_w=dw)
         # residual: angular deviation between observed ray and predicted
         pred = jnp.einsum("kji,kj->ki", state.R,
                           X[None] - state.t)  # cam-frame vector
         # eps inside sqrt: masked-out slots have pred = 0 and a bare norm
         # would send NaN through the VJP despite the jnp.where mask below
         norm = jnp.sqrt(jnp.sum(pred * pred, axis=-1, keepdims=True) + 1e-18)
-        pred = pred / norm
-        r = jnp.cross(pred, bear) / cfg.proj_sigma  # (W, 3)
+        pred_n = pred / norm
+        r = jnp.cross(pred_n, bear) / cfg.proj_sigma  # (W, 3)
         m = (ovalid & ok)[:, None]
-        return jnp.where(m, r, 0.0)
+        r_bear = jnp.where(m, r, 0.0)
+        # stereo range residual (smart STEREO factor role): predicted
+        # range along the ray vs the measured stereo depth
+        r_dep = (norm[:, 0] - dep) / dsig
+        r_dep = jnp.where(dvalid & ovalid & ok, r_dep, 0.0)
+        return r_bear, r_dep
 
-    parts.append(jax.vmap(lm_res)(win.bearings, win.obs_valid).reshape(-1))
+    dep = win.depths if have_depth else jnp.zeros_like(win.obs_valid,
+                                                       jnp.float32)
+    dva = win.depth_valid if have_depth else jnp.zeros_like(win.obs_valid)
+    dsig = (win.depth_sigmas if win.depth_sigmas is not None
+            else jnp.full_like(dep, cfg.depth_sigma))
+    r_bear, r_dep = jax.vmap(lm_res)(win.bearings, win.obs_valid, dep, dva,
+                                     dsig)
+    parts.append(r_bear.reshape(-1))
+    if have_depth:
+        parts.append(r_dep.reshape(-1))
 
     # ---- external odometry between factors ---------------------------
     Rrel = jnp.swapaxes(state.R[:-1], -1, -2) @ state.R[1:]
@@ -155,8 +201,12 @@ def residuals(state: VioState, win: VioWindow, cfg: VioConfig) -> jnp.ndarray:
         (state.v * win.zero_vel[:, None] / cfg.zero_vel_sigma).reshape(-1))
 
     # ---- anchor (marginalization surrogate) on state 0 ---------------
+    # world-frame (left) rotation error, split: yaw (world z = gravity
+    # axis) is gauge -> tight; roll/pitch observable -> loose
     a = win.anchor
-    parts.append(lie.so3_log(a.R[0].T @ state.R[0]) / cfg.anchor_pose_sigma)
+    e_w = lie.so3_log(state.R[0] @ a.R[0].T)
+    parts.append(e_w[2:] / cfg.anchor_pose_sigma)
+    parts.append(e_w[:2] / cfg.anchor_rp_sigma)
     parts.append((state.t[0] - a.t[0]) / cfg.anchor_pose_sigma)
     parts.append((state.v[0] - a.v[0]) / cfg.anchor_vel_sigma)
     parts.append((state.bg[0] - a.bg[0]) / cfg.anchor_bias_sigma)
@@ -206,7 +256,26 @@ def solve_window(state0: VioState, win: VioWindow,
         delta, *_ = jax.lax.fori_loop(
             0, cfg.cg_iters, cg_body,
             (jnp.zeros_like(g), -g, -g, jnp.sum(g * g)))
-        return retract(st, delta)
+        # damped accept: GN full steps can diverge when the linearization
+        # is poor (bad bootstrap, inconsistent factors) — evaluate a
+        # fixed backtracking ladder on the TRUE cost and keep the best
+        # improving point (monotone by construction, NaN-proof: non-finite
+        # trial costs lose the argmin)
+        delta = jnp.nan_to_num(delta)
+        steps = 1.0 * (0.5 ** jnp.arange(cfg.step_trials))
+
+        def trial_cost(s):
+            r = full_res(s * delta, st)
+            c = jnp.sum(r * r)
+            return jnp.where(jnp.isfinite(c), c, jnp.inf)
+
+        costs = jax.vmap(trial_cost)(steps)
+        c0 = jnp.sum(r0 * r0)
+        best = jnp.argmin(costs)
+        improved = costs[best] < c0
+        st_new = retract(st, steps[best] * delta)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(improved, a, b), st_new, st)
 
     return jax.lax.fori_loop(0, cfg.gn_iters, gn_step, state0)
 

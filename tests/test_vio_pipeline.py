@@ -68,7 +68,14 @@ def test_vio_pipeline_tracks_motion():
         min_intra_keyframe_time=0.05,
         disparity_threshold=0.3,
         window_size=6,
-        fx=FX, fy=FY, cx=CX, cy=CY,
+        max_features=96,
+        cam=pipeline.CameraModel(fx=FX, fy=FY, cx=CX, cy=CY),
+        baseline=0.0,  # monocular: scale from IMU excitation
+        min_mono_inliers=8, min_stereo_inliers=4,
+        # the trajectory starts under full acceleration, so accelerometer
+        # gravity alignment is biased; this test models the reference's
+        # ground-truth-initial-state mode (identity attitude is exact)
+        gravity_align=False,
     )
     pipe = pipeline.VioPipeline(cfg)
     last_imu = 0
