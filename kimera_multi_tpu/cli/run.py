@@ -53,6 +53,11 @@ def main(argv=None):
     p.add_argument("--save-obs", default=None,
                    help="directory to dump per-robot observation streams "
                         "(obs_robot<k>.npz) for cli/replay.py acceptance")
+    p.add_argument("--submap-size", type=int, default=0,
+                   help="coarsen the back-end graph to submaps of up to "
+                        "this many keyframes (reference: the dpgo back-end "
+                        "only ever optimizes the coarsened submap graph, "
+                        "drawio:548-574,623; 0 = keyframe-level)")
     args = p.parse_args(argv)
 
     import jax
@@ -60,7 +65,7 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    run_sim(args)
+    return run_sim(args)
 
 
 def run_sim(args):
@@ -131,7 +136,41 @@ def run_sim(args):
               file=sys.stderr)
 
     edges = fe.build_pose_graph(world.R_odo, world.t_odo)
-    params0 = pgo.init_from_odometry(edges, args.robots, args.steps)
+
+    # ---- submap coarsening (getSubmapPoseGraph, drawio:548-574) -------
+    expand_fn = None
+    ppr = args.steps  # back-end poses per robot
+    if getattr(args, "submap_size", 0) > 0:
+        from ..frontend import submap as submap_mod
+
+        R_kf, t_kf = _odometry_poses(world)
+        assigns = [
+            submap_mod.assign_submaps(
+                jnp.asarray(R_kf[r]), jnp.asarray(t_kf[r]),
+                jnp.ones(args.steps, bool),
+                max_submap_size=args.submap_size)
+            for r in range(args.robots)
+        ]
+        edges_kf = edges
+        edges = submap_mod.coarsen_edges(edges_kf, assigns, args.steps)
+        ppr = max(int(a.n_submaps) for a in assigns)
+        print(f"[run] coarsened to <= {ppr} submaps/robot "
+              f"({args.robots * args.steps} -> "
+              f"{sum(int(a.n_submaps) for a in assigns)} optimized poses)",
+              file=sys.stderr)
+
+        def expand_fn(params_sm):
+            Rs, ts = [], []
+            for r in range(args.robots):
+                off = jnp.asarray(r * ppr, jnp.int32)
+                Rr, tr = submap_mod.expand_solution(
+                    params_sm.R, params_sm.t, assigns[r], off)
+                Rs.append(Rr)
+                ts.append(tr)
+            return pgo.PgoParams(R=jnp.concatenate(Rs),
+                                 t=jnp.concatenate(ts))
+
+    params0 = pgo.init_from_odometry(edges, args.robots, ppr)
 
     print("[run] back-end optimization...", file=sys.stderr)
     if args.mode == "sim-sharded":
@@ -142,17 +181,17 @@ def run_sim(args):
         # PCM consensus decides inter-robot frames before lifting (same
         # pipeline as solve.robust.robust_pgo)
         params_w, consensus, _ok = pcm.robot_frame_init(
-            edges, params0, args.robots, args.steps)
+            edges, params0, args.robots, ppr)
         shared = edges.valid & (edges.etype == EDGE_SHARED_LC)
         w0 = jnp.where(shared & ~consensus, 0.0,
                        jnp.ones(edges.capacity))
         ylift = stiefel.random_lifting_matrix(
             rngmod.derive(rngmod.base_key(args.seed), rngmod.Stream.LIFTING),
             5, 3)
-        Y0 = rbcd.lift_params(params_w, ylift, args.robots, args.steps)
+        Y0 = rbcd.lift_params(params_w, ylift, args.robots, ppr)
         m = mesh_mod.robot_mesh(args.robots)
         rcfg = rbcd.RbcdConfig()
-        round_fn = rounds.make_round_fn(m, edges, args.steps, rcfg,
+        round_fn = rounds.make_round_fn(m, edges, ppr, rcfg,
                                         weight_update_every=2,
                                         burnin_rounds=8)
         if args.resume:
@@ -163,7 +202,7 @@ def run_sim(args):
                   f"{int(state.round_idx)}", file=sys.stderr)
         else:
             state = rounds.init_state(m, Y0, jnp.ones(args.robots, bool),
-                                      edges, args.steps, init_weights=w0)
+                                      edges, ppr, init_weights=w0)
         comm_bytes = rounds.round_comm_bytes(Y0.shape, rcfg.inner_iters)
         dpgo_rows = []
         dump_idx = 0
@@ -172,7 +211,7 @@ def run_sim(args):
             state, cost = round_fn(state)
             dpgo_rows.append(dict(
                 robot_id=0, instance=0, iteration=i,
-                num_poses=args.robots * args.steps,
+                num_poses=args.robots * ppr,
                 bytes_received=comm_bytes * (i + 1),
                 iteration_time_sec=time.time() - t0,
                 total_time_sec=time.time() - t_start,
@@ -180,7 +219,8 @@ def run_sim(args):
                 num_active_robots=args.robots))
             if (i + 1) % args.dump_every == 0:
                 # periodic trajectory dumps (logTimerCallback equivalent)
-                _dump_round_trajectories(args, world, state, dump_idx)
+                _dump_round_trajectories(args, world, state, dump_idx,
+                                         expand_fn, ppr)
                 dump_idx += 1
                 if args.checkpoint:
                     from ..dist import checkpoint as ckpt_mod
@@ -198,11 +238,11 @@ def run_sim(args):
             jnp.broadcast_to(Rg, (n_all, 3, 3)),
             jnp.broadcast_to(tg, (n_all, 3)), R_all, t_all)
         params = pgo.gauss_newton(
-            pgo.PgoParams(R=R_all, t=t_all), edges, weights, args.steps,
+            pgo.PgoParams(R=R_all, t=t_all), edges, weights, ppr,
             gn_iters=5, cg_iters=40)
     else:
         params, gstate = robust.robust_pgo(
-            params0, edges, args.steps, gnc_outer_iters=args.gnc_rounds)
+            params0, edges, ppr, gnc_outer_iters=args.gnc_rounds)
         weights = gstate.weights
         dpgo_rows = [dict(robot_id=0, instance=0, iteration=i,
                           num_poses=args.robots * args.steps,
@@ -212,13 +252,21 @@ def run_sim(args):
                           num_active_robots=args.robots)
                      for i in range(1)]
 
+    # expand submap anchors back to keyframes before logging
+    # (processOptimizedPath, drawio:234-240)
+    if expand_fn is not None:
+        params = expand_fn(params)
+
     # ---- logs in the reference schema -------------------------------
-    write_logs(args, world, fe, params, weights, dpgo_rows)
+    results = write_logs(args, world, fe, params, weights, dpgo_rows)
     if args.artifacts:
         write_artifacts(args, world, params)
+    return dict(ape=results, n_opt_poses=args.robots * ppr,
+                n_keyframes=args.robots * args.steps)
 
 
-def _dump_round_trajectories(args, world, state, dump_idx):
+def _dump_round_trajectories(args, world, state, dump_idx, expand_fn=None,
+                             ppr=None):
     """Mid-optimization trajectory dump per robot
     (kimera_distributed_poses_tum_<k>.tum, drawio:86-110)."""
     import jax.numpy as jnp
@@ -226,9 +274,13 @@ def _dump_round_trajectories(args, world, state, dump_idx):
 
     from ..core import lie, stiefel
     from ..io import logs
+    from ..solve.pgo import PgoParams
 
     R_all, t_all = stiefel.round_solution(
         state.Y.reshape(-1, state.Y.shape[2], state.Y.shape[3]), 3)
+    if expand_fn is not None:
+        p = expand_fn(PgoParams(R=R_all, t=t_all))
+        R_all, t_all = p.R, p.t
     T = args.steps
     for r in range(args.robots):
         sl = slice(r * T, (r + 1) * T)
@@ -383,24 +435,35 @@ def write_artifacts(args, world, params):
           f"{args.log_dir}", file=sys.stderr)
 
 
-def _odometry_positions(world, r):
-    """Compose robot r's odometry chain (odometry-frame positions)."""
+def _odometry_poses(world):
+    """Compose every robot's odometry chain -> (R (Rb, T, 3, 3),
+    t (Rb, T, 3)) keyframe poses in the odometry frame."""
     import numpy as np
 
     from ..core import lie
     import jax.numpy as jnp
 
-    T = world.R_odo.shape[1] + 1
-    R = np.eye(3, dtype=np.float32)
-    t = np.zeros(3, np.float32)
-    out = [t.copy()]
-    for k in range(T - 1):
-        Rn, tn = lie.se3_compose(jnp.asarray(R), jnp.asarray(t),
-                                 jnp.asarray(world.R_odo[r, k]),
-                                 jnp.asarray(world.t_odo[r, k]))
-        R, t = np.asarray(Rn), np.asarray(tn)
-        out.append(t.copy())
-    return np.stack(out)
+    Rb, Tm1 = world.R_odo.shape[0], world.R_odo.shape[1]
+    T = Tm1 + 1
+    R_out = np.zeros((Rb, T, 3, 3), np.float32)
+    t_out = np.zeros((Rb, T, 3), np.float32)
+    for r in range(Rb):
+        R = np.eye(3, dtype=np.float32)
+        t = np.zeros(3, np.float32)
+        R_out[r, 0] = R
+        for k in range(Tm1):
+            Rn, tn = lie.se3_compose(jnp.asarray(R), jnp.asarray(t),
+                                     jnp.asarray(world.R_odo[r, k]),
+                                     jnp.asarray(world.t_odo[r, k]))
+            R, t = np.asarray(Rn), np.asarray(tn)
+            R_out[r, k + 1] = R
+            t_out[r, k + 1] = t
+    return R_out, t_out
+
+
+def _odometry_positions(world, r):
+    """Compose robot r's odometry chain (odometry-frame positions)."""
+    return _odometry_poses(world)[1][r]
 
 
 def _status_name(code):
