@@ -53,7 +53,11 @@ class FrontendConfig(NamedTuple):
     kappa_odo: float = 1e4
     tau_odo: float = 1e2
     min_intra_separation: int = 10  # skip near-diagonal self matches
-    use_5pt: bool = False  # True: 5-pt minimal solver for the mono gate
+    # 5-pt minimal mono gate by default (reference parity:
+    # ransac_2d2d_algorithm 0/1 = Stewenius/Nister 5-pt,
+    # LcdParams.yaml:58; recall dominance over the 8-pt fallback at high
+    # outlier ratios asserted by tests/test_mono_5pt_parity.py)
+    use_5pt: bool = True
     base_seed: int = 0
 
 
