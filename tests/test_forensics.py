@@ -12,11 +12,14 @@ from kimera_multi_tpu.io import logs, sim_world
 
 
 def test_forensics_on_sim_run(tmp_path):
+    # 40 steps: the 5-pt mono gate (FrontendConfig.use_5pt default) commits
+    # 17 loops on this fixture — comfortably above the n_total > 5 floor
+    # (the old 30-step fixture yielded exactly 5 under 5pt).
     log_dir = str(tmp_path / "logs")
-    cli_run.main(["--mode", "sim", "--robots", "2", "--steps", "30",
+    cli_run.main(["--mode", "sim", "--robots", "2", "--steps", "40",
                   "--features", "64", "--log-dir", log_dir, "--seed", "1"])
     # write GT TUMs from the same world
-    world = sim_world.make_world(n_robots=2, n_steps=30, features_per_kf=64,
+    world = sim_world.make_world(n_robots=2, n_steps=40, features_per_kf=64,
                                  seed=1)
     gt = {}
     for r in range(2):
@@ -26,7 +29,7 @@ def test_forensics_on_sim_run(tmp_path):
         gt[r] = p
     out_csv = str(tmp_path / "lc_forensics.csv")
     res = lc_forensics.analyze_run(log_dir, gt, 2, out_csv=out_csv)
-    assert res.n_total > 5
+    assert res.n_total > 5  # 17 on this fixture under the 5pt default
     assert res.n_inter > 0
     # committed loops in the sim are genuine: small errors, close pairs
     assert np.median(res.rot_err_deg) < 2.0
