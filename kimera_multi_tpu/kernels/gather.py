@@ -26,7 +26,9 @@ _TILE_H = 128
 
 
 def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    from ..core.backend import is_tpu
+
+    return is_tpu()
 
 
 def _sample_gather_kernel(picksT_ref, dataT_ref, out_ref, *, k: int, D: int):

@@ -29,6 +29,12 @@ import jax.numpy as jnp
 _BITS = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
 
 
+def _is_tpu_backend() -> bool:
+    from ..core.backend import is_tpu
+
+    return is_tpu()
+
+
 def unpack_bits(desc: jnp.ndarray) -> jnp.ndarray:
     """(..., 32) uint8 -> (..., 256) bits in {0, 1} (uint8), LSB-first per
     byte (matches numpy.unpackbits(bitorder='little'))."""
@@ -173,7 +179,7 @@ def knn2_lowe_match_pairs(
     path. Returns (match_idx (C, Kq) int32 — -1 if rejected; d1 (C, Kq)
     int32, clipped to the XLA path's 512 no-match sentinel).
     """
-    if jax.default_backend() != "tpu":
+    if not _is_tpu_backend():
         fn = jax.vmap(lambda dq, vq, dt, vt: knn2_lowe_match(
             dq, vq, dt, vt, lowe_ratio, max_distance=max_distance))
         return fn(desc_q, valid_q, desc_t, valid_t)
@@ -299,6 +305,6 @@ def hamming_top2_pallas(bits_q: jnp.ndarray, bits_t: jnp.ndarray, tile_q=128, ti
             pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0)),
         ],
         out_shape=out_shape,
-        interpret=jax.default_backend() != "tpu",
+        interpret=not _is_tpu_backend(),
     )(bits_q, bits_t, rt)
     return d1[:, 0], d2[:, 0], i1[:, 0]

@@ -30,7 +30,9 @@ _EPS = 1e-12
 
 
 def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    from ..core.backend import is_tpu
+
+    return is_tpu()
 
 
 def _pad_h(x, tile=128):
