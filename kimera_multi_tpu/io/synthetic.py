@@ -16,13 +16,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import lie, rng
+from ..core import rng
 from ..core.containers import (
     EDGE_ODOMETRY,
     EDGE_PRIVATE_LC,
     EDGE_SHARED_LC,
     PoseGraphEdges,
 )
+
+
+def _so3_exp_np(w: np.ndarray) -> np.ndarray:
+    """Batched Rodrigues formula on the HOST (numpy). The generator must
+    never dispatch per-edge device ops: one jnp call per edge turns graph
+    construction into thousands of (possibly relayed) device round-trips —
+    this was the round-2 bench timeout."""
+    w = np.asarray(w, np.float32)
+    theta = np.linalg.norm(w, axis=-1, keepdims=True)[..., None]  # (...,1,1)
+    safe = np.maximum(theta, 1e-12)
+    k = w / safe[..., 0]
+    K = np.zeros(w.shape[:-1] + (3, 3), np.float32)
+    K[..., 0, 1], K[..., 0, 2] = -k[..., 2], k[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = k[..., 2], -k[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -k[..., 1], k[..., 0]
+    eye = np.broadcast_to(np.eye(3, dtype=np.float32), K.shape)
+    R = eye + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+    return np.where(theta < 1e-8, eye, R).astype(np.float32)
 
 
 class SyntheticGraph(NamedTuple):
@@ -55,6 +73,7 @@ def multi_robot_graph(
     N = n_robots * n_poses
 
     # ground-truth trajectories: concentric circles with phase offsets
+    # (all host numpy — zero device dispatches in the generator)
     R_gt = np.zeros((n_robots, n_poses, 3, 3), np.float32)
     t_gt = np.zeros((n_robots, n_poses, 3), np.float32)
     for r in range(n_robots):
@@ -66,30 +85,34 @@ def multi_robot_graph(
         t_gt[r, :, 2] = 0.1 * r
         yaw = ang + np.pi / 2
         w = np.stack([0 * yaw, 0 * yaw, yaw], -1)
-        R_gt[r] = np.asarray(lie.so3_exp(jnp.asarray(w, jnp.float32)))
+        R_gt[r] = _so3_exp_np(w)
     R_gt = R_gt.reshape(N, 3, 3)
     t_gt = t_gt.reshape(N, 3)
 
-    def rel(i, j):
+    def rel_batch(i, j):
+        """Batched GT relative poses for index arrays i, j."""
         Ri, ti = R_gt[i], t_gt[i]
         Rj, tj = R_gt[j], t_gt[j]
-        Rb = Ri.T @ Rj
-        tb = Ri.T @ (tj - ti)
+        Rb = np.einsum("eji,ejk->eik", Ri, Rj)
+        tb = np.einsum("eji,ej->ei", Ri, tj - ti)
         return Rb, tb
 
-    def noisy(Rb, tb):
-        dw = npr.normal(0, rot_noise, 3).astype(np.float32)
-        Rn = np.asarray(lie.so3_exp(jnp.asarray(dw))) @ Rb
-        tn = tb + npr.normal(0, trans_noise, 3).astype(np.float32)
-        return Rn, tn
+    def noisy_batch(Rb, tb):
+        n = Rb.shape[0]
+        dw = npr.normal(0, rot_noise, (n, 3)).astype(np.float32)
+        Rn = _so3_exp_np(dw) @ Rb
+        tn = tb + npr.normal(0, trans_noise, (n, 3)).astype(np.float32)
+        return Rn.astype(np.float32), tn.astype(np.float32)
 
-    rows = []  # (sr, sp, dr, dp, R, t, etype, outlier)
-    for r in range(n_robots):
-        for k in range(n_poses - 1):
-            i, j = r * n_poses + k, r * n_poses + k + 1
-            Rb, tb = noisy(*rel(i, j))
-            rows.append((r, k, r, k + 1, Rb, tb, EDGE_ODOMETRY, False))
+    # odometry edges, one batch
+    rr = np.repeat(np.arange(n_robots), n_poses - 1)
+    kk = np.tile(np.arange(n_poses - 1), n_robots)
+    io_ = rr * n_poses + kk
+    R_odo, t_odo = noisy_batch(*rel_batch(io_, io_ + 1))
 
+    # loop-closure candidate selection (host ints only), then one batched
+    # transform generation pass
+    lc_rows = []  # (r1, k1, r2, k2, etype, is_out)
     def add_lc(r1, r2, count, etype):
         made = 0
         trials = 0
@@ -102,15 +125,8 @@ def multi_robot_graph(
             i, j = r1 * n_poses + k1, r2 * n_poses + k2
             if np.linalg.norm(t_gt[i] - t_gt[j]) > 3.0:
                 continue
-            is_out = npr.uniform() < outlier_ratio
-            if is_out:
-                Rb = np.asarray(
-                    lie.so3_exp(jnp.asarray(npr.normal(0, 1.5, 3), jnp.float32))
-                )
-                tb = npr.uniform(-8, 8, 3).astype(np.float32)
-            else:
-                Rb, tb = noisy(*rel(i, j))
-            rows.append((r1, k1, r2, k2, Rb, tb, etype, is_out))
+            is_out = bool(npr.uniform() < outlier_ratio)
+            lc_rows.append((r1, k1, r2, k2, etype, is_out))
             made += 1
 
     for r in range(n_robots):
@@ -119,38 +135,62 @@ def multi_robot_graph(
         for r2 in range(r1 + 1, n_robots):
             add_lc(r1, r2, n_inter_lc, EDGE_SHARED_LC)
 
-    E = len(rows)
+    n_lc = len(lc_rows)
+    if n_lc:
+        lr1 = np.asarray([x[0] for x in lc_rows], np.int32)
+        lk1 = np.asarray([x[1] for x in lc_rows], np.int32)
+        lr2 = np.asarray([x[2] for x in lc_rows], np.int32)
+        lk2 = np.asarray([x[3] for x in lc_rows], np.int32)
+        let = np.asarray([x[4] for x in lc_rows], np.int32)
+        lout = np.asarray([x[5] for x in lc_rows], bool)
+        R_lc, t_lc = noisy_batch(*rel_batch(lr1 * n_poses + lk1,
+                                            lr2 * n_poses + lk2))
+        # outliers: gross random transforms
+        n_out = int(lout.sum())
+        if n_out:
+            R_lc[lout] = _so3_exp_np(
+                npr.normal(0, 1.5, (n_out, 3)).astype(np.float32))
+            t_lc[lout] = npr.uniform(-8, 8, (n_out, 3)).astype(np.float32)
+    else:
+        lr1 = lk1 = lr2 = lk2 = let = np.zeros(0, np.int32)
+        lout = np.zeros(0, bool)
+        R_lc = np.zeros((0, 3, 3), np.float32)
+        t_lc = np.zeros((0, 3), np.float32)
+
+    E_odo = len(io_)
+    E = E_odo + n_lc
     cap = edge_capacity or int(2 ** np.ceil(np.log2(max(E, 8))))
     if cap < E:
         raise ValueError(f"edge_capacity {cap} < generated edges {E}")
 
-    def col(i, dtype=np.int32):
+    def col(odo_vals, lc_vals, dtype=np.int32):
         out = np.zeros(cap, dtype)
-        out[:E] = [row[i] for row in rows]
+        out[:E_odo] = odo_vals
+        out[E_odo:E] = lc_vals
         return out
 
     Rm = np.broadcast_to(np.eye(3, dtype=np.float32), (cap, 3, 3)).copy()
     tm = np.zeros((cap, 3), np.float32)
-    for e, row in enumerate(rows):
-        Rm[e], tm[e] = row[4], row[5]
+    Rm[:E_odo], tm[:E_odo] = R_odo, t_odo
+    Rm[E_odo:E], tm[E_odo:E] = R_lc, t_lc
     kap = np.zeros(cap, np.float32)
     ta = np.zeros(cap, np.float32)
     kap[:E] = kappa
     ta[:E] = tau
 
     edges = PoseGraphEdges(
-        src_robot=jnp.asarray(col(0)),
-        src_pose=jnp.asarray(col(1)),
-        dst_robot=jnp.asarray(col(2)),
-        dst_pose=jnp.asarray(col(3)),
+        src_robot=jnp.asarray(col(rr, lr1)),
+        src_pose=jnp.asarray(col(kk, lk1)),
+        dst_robot=jnp.asarray(col(rr, lr2)),
+        dst_pose=jnp.asarray(col(kk + 1, lk2)),
         R=jnp.asarray(Rm),
         t=jnp.asarray(tm),
         kappa=jnp.asarray(kap),
         tau=jnp.asarray(ta),
-        etype=jnp.asarray(col(6)),
+        etype=jnp.asarray(col(np.full(E_odo, EDGE_ODOMETRY, np.int32), let)),
     )
     out = np.zeros(cap, bool)
-    out[:E] = [row[7] for row in rows]
+    out[E_odo:E] = lout
     return SyntheticGraph(
         edges=edges,
         R_gt=jnp.asarray(R_gt),
