@@ -16,27 +16,35 @@ in-repo CPU reference loop with the reference's serial semantics
 0.995-confidence early termination capped at 500 iterations
 (LcdParams.yaml:64-65), one candidate at a time — exactly how
 `verifyLoopSpin` consumes its queue (images/kimera-multi.drawio:251,405).
-The measured number is printed and carried in the JSON as
-`baseline_measured`.
 
-Also reported: XLA-counted FLOP throughput and MFU vs the chip's peak,
-per-stage timings (match / mono RANSAC / 3d3d RANSAC), and RBCD round
-rates on the 6x256 and campus-scale 6x2048 graphs (bucketed block
-updates).
+Robustness structure (VERDICT round-2 item 1 — the round-2 bench timed
+out and shipped no number):
+  * every phase is timeboxed against an overall deadline
+    (BENCH_DEADLINE_S, default 400 s); phases that do not fit are skipped
+    with a logged reason, never silently;
+  * a SIGTERM/SIGINT handler prints the JSON with whatever has been
+    measured so far, so even an external `timeout` kill ships the number;
+  * each jitted stage is lowered+compiled exactly ONCE; timing uses the
+    compiled executable and FLOPs come from its own cost_analysis (the
+    round-2 `_cost_flops` re-compiled everything, doubling compile time);
+  * the matcher kernel path (Pallas pair kernel vs XLA fallback) is
+    detected from the compiled HLO (tpu_custom_call presence) and
+    reported (VERDICT round-2 item 9).
 
-Prints ONE JSON line to stdout.
+Prints ONE JSON line to stdout. Secondary details also land in
+bench_extra.json.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
-# Fallback only (used if the measurement below fails): estimated single-core
-# reference rate, see BASELINE.md.
 REF_VERIFICATIONS_PER_S_FALLBACK = 75.0
 
 # Peak dense-matmul throughput per chip, f32-accumulated bf16 MXU rate.
@@ -49,6 +57,58 @@ _PEAK_FLOPS = {
     "TPU v5": 459e12,
     "TPU v6 lite": 918e12,
 }
+
+_T0 = time.perf_counter()
+_DEADLINE = float(os.environ.get("BENCH_DEADLINE_S", "400"))
+
+# filled in progressively; the signal handler prints whatever is here
+RESULT: dict = {
+    "metric": "lc_verifications_per_s_per_chip",
+    "value": None,
+    "unit": "verifications/s",
+    "vs_baseline": None,
+}
+_EMITTED = False
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def _remaining() -> float:
+    return _DEADLINE - _elapsed()
+
+
+def _log(msg: str) -> None:
+    print(f"[bench {_elapsed():6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def emit(final: bool = False) -> None:
+    """Print the JSON line (once) + sidecar. Called at the end and from the
+    signal handler."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    if RESULT["value"] is None:
+        return  # nothing measured yet; let the caller decide
+    _EMITTED = True
+    print(json.dumps(RESULT), flush=True)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_extra.json"), "w") as f:
+            json.dump(RESULT, f, indent=1)
+    except Exception:
+        pass
+
+
+def _term_handler(signum, frame):
+    _log(f"signal {signum}: emitting partial result and exiting")
+    emit()
+    sys.exit(0 if RESULT["value"] is not None else 1)
+
+
+signal.signal(signal.SIGTERM, _term_handler)
+signal.signal(signal.SIGINT, _term_handler)
 
 
 def make_candidates(n_cand: int, K: int, seed: int = 0):
@@ -80,12 +140,11 @@ def make_candidates(n_cand: int, K: int, seed: int = 0):
 
 
 def _rand_rot(npr, n):
-    import jax.numpy as jnp
-
-    from kimera_multi_tpu.core import lie
+    # host-side Rodrigues (no device dispatch in data generation)
+    from kimera_multi_tpu.io.synthetic import _so3_exp_np
 
     w = npr.normal(0, 0.4, (n, 3)).astype(np.float32)
-    return np.asarray(lie.so3_exp(jnp.asarray(w)))
+    return _so3_exp_np(w)
 
 
 # ----------------------------------------------------------------------
@@ -193,7 +252,9 @@ def measure_cpu_baseline(n_cand=6, K=704, seed=0):
 # TPU kernel-path benchmark with stage breakdown + FLOP accounting.
 # ----------------------------------------------------------------------
 
-def build_stage_fns(n_hyp: int = 500, use_5pt: bool = False):
+def build_stage_fns(n_hyp: int = 500, use_5pt: bool = True):
+    """use_5pt=True matches the production default (FrontendConfig.use_5pt,
+    reference ransac_2d2d_algorithm 0/1 = 5-pt, LcdParams.yaml:58)."""
     import jax
     import jax.numpy as jnp
 
@@ -245,24 +306,28 @@ def build_stage_fns(n_hyp: int = 500, use_5pt: bool = False):
     return match_stage, mono_stage, stereo_stage, full
 
 
-def _cost_flops(jitted, *args):
+def _compile_once(jitted, *args):
+    """Lower+compile exactly once; returns (compiled, flops, hlo_text)."""
+    compiled = jitted.lower(*args).compile()
+    flops = 0.0
     try:
-        c = jitted.lower(*args).compile().cost_analysis()
+        c = compiled.cost_analysis()
         if isinstance(c, (list, tuple)):
             c = c[0]
-        return float(c.get("flops", 0.0))
+        flops = float(c.get("flops", 0.0))
     except Exception:
-        return 0.0
+        pass
+    return compiled, flops
 
 
-def _time_fn(fn, args, reps):
+def _time_compiled(compiled, args, reps):
     import jax
 
-    out = fn(*args)
+    out = compiled(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
+        out = compiled(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps, out
 
@@ -272,25 +337,40 @@ def bench_verifications(n_cand=128, K=704, reps=10):
 
     args = make_candidates(n_cand, K)
     da, db, fa, fb, pa, pb, v = args
+    _log("candidates generated")
     match_stage, mono_stage, stereo_stage, full = build_stage_fns()
 
-    t_full, out = _time_fn(full, args, reps)
-    m = match_stage(da, db, v)
+    cm, fl_m = _compile_once(match_stage, da, db, v)
+    # kernel-path detection from the compiled HLO: the Pallas pair kernel
+    # lowers to a tpu_custom_call (Mosaic); the XLA fallback has none
+    try:
+        hlo = cm.as_text()
+        pallas = ("tpu_custom_call" in hlo) or ("mosaic" in hlo.lower())
+    except Exception:
+        pallas = None
+    _log(f"match stage compiled (pallas_engaged={pallas})")
+    m = cm(da, db, v)
     jax.block_until_ready(m)
-    t_match, _ = _time_fn(match_stage, (da, db, v), reps)
-    t_mono, _ = _time_fn(mono_stage, (m, fa, fb), reps)
-    t_stereo, _ = _time_fn(stereo_stage, (m, pa, pb), reps)
+    cmo, fl_mo = _compile_once(mono_stage, m, fa, fb)
+    _log("mono stage compiled")
+    cst, fl_st = _compile_once(stereo_stage, m, pa, pb)
+    _log("stereo stage compiled")
+    cf, _ = _compile_once(full, *args)
+    _log("full pipeline compiled")
 
-    flops = (_cost_flops(match_stage, da, db, v)
-             + _cost_flops(mono_stage, m, fa, fb)
-             + _cost_flops(stereo_stage, m, pa, pb))
+    t_full, out = _time_compiled(cf, args, reps)
+    t_match, _ = _time_compiled(cm, (da, db, v), reps)
+    t_mono, _ = _time_compiled(cmo, (m, fa, fb), reps)
+    t_stereo, _ = _time_compiled(cst, (m, pa, pb), reps)
+
+    flops = fl_m + fl_mo + fl_st
     vps = n_cand / t_full
     acc = float(np.asarray(out["ok"]).mean())
     stages = {"match_ms": round(t_match * 1e3, 2),
               "mono_ransac_ms": round(t_mono * 1e3, 2),
               "stereo_ransac_ms": round(t_stereo * 1e3, 2),
               "full_ms": round(t_full * 1e3, 2)}
-    return vps, acc, flops / t_full, stages
+    return vps, acc, flops / t_full, stages, pallas
 
 
 def bench_rbcd(n_robots=6, n_poses=256, reps=5, n_intra_lc=16, n_inter_lc=16):
@@ -312,17 +392,20 @@ def bench_rbcd(n_robots=6, n_poses=256, reps=5, n_intra_lc=16, n_inter_lc=16):
     active = jnp.ones(g.n_robots, bool)
     w = jnp.ones(g.edges.capacity)
     buckets = rbcd.bucket_edges(g.edges, g.n_robots)
+    _log(f"rbcd graph {n_robots}x{n_poses} built "
+         f"(E={int(np.asarray(g.edges.valid).sum())})")
 
-    @jax.jit
-    def one_round(Y):
-        return rbcd.rbcd_round_reference(Y, active, g.edges, w, cfg,
-                                         g.poses_per_robot, buckets=buckets)
-
-    Y = one_round(Y0)
+    one_round = jax.jit(
+        lambda Y: rbcd.rbcd_round_reference(Y, active, g.edges, w, cfg,
+                                            g.poses_per_robot,
+                                            buckets=buckets))
+    compiled, _ = _compile_once(one_round, Y0)
+    _log("rbcd round compiled")
+    Y = compiled(Y0)
     jax.block_until_ready(Y)
     t0 = time.perf_counter()
     for _ in range(reps):
-        Y = one_round(Y)
+        Y = compiled(Y)
     jax.block_until_ready(Y)
     dt = time.perf_counter() - t0
     return reps / dt  # rounds/s (each = cfg.inner_iters block-Newton cycles)
@@ -335,61 +418,77 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     backend = jax.default_backend()
     kind = jax.devices()[0].device_kind
-    print(f"backend: {backend}, devices: {jax.devices()}", file=sys.stderr)
+    _log(f"backend: {backend}, devices: {jax.devices()}, "
+         f"deadline {_DEADLINE:.0f}s")
+    RESULT["device"] = kind
 
+    baseline = REF_VERIFICATIONS_PER_S_FALLBACK
+    baseline_src = "estimate"
     try:
         baseline = measure_cpu_baseline()
         baseline_src = "measured"
-        print(f"CPU reference loop (serial, adaptive-500 RANSAC): "
-              f"{baseline:.1f} verifications/s", file=sys.stderr)
+        _log(f"CPU reference loop (serial, adaptive-500 RANSAC): "
+             f"{baseline:.1f} verifications/s")
     except Exception as e:
-        baseline = REF_VERIFICATIONS_PER_S_FALLBACK
-        baseline_src = "estimate"
-        print(f"baseline measurement failed ({e}); using estimate",
-              file=sys.stderr)
+        _log(f"baseline measurement failed ({e}); using estimate")
+    RESULT["baseline_measured"] = round(baseline, 1)
+    RESULT["baseline_source"] = baseline_src
 
-    vps, acc, flops_per_s, stages = bench_verifications()
+    # --- primary metric ---------------------------------------------------
+    vps, acc, flops_per_s, stages, pallas = bench_verifications()
     peak = _PEAK_FLOPS.get(kind)
     mfu = (flops_per_s / peak) if peak else None
-    print(f"verifications/s/chip: {vps:.1f} (acceptance rate {acc:.2f})",
-          file=sys.stderr)
-    print(f"stages: {stages}", file=sys.stderr)
-    print(f"XLA-counted {flops_per_s/1e12:.3f} TFLOP/s"
-          + (f" = {mfu*100:.2f}% MFU of {kind}" if mfu is not None else ""),
-          file=sys.stderr)
-    print("roofline note: per candidate the workload is ~0.25 GFLOP of "
-          "small batched linalg/bit-matmul; the verification batch is "
-          "latency/HBM-bound, not MXU-bound — rate, not MFU, is the "
-          "objective here", file=sys.stderr)
+    _log(f"verifications/s/chip: {vps:.1f} (acceptance rate {acc:.2f})")
+    _log(f"stages: {stages}")
+    _log(f"XLA-counted {flops_per_s/1e12:.3f} TFLOP/s"
+         + (f" = {mfu*100:.2f}% MFU of {kind}" if mfu is not None else ""))
+    _log("roofline note: per candidate the workload is ~0.25 GFLOP of "
+         "small batched linalg/bit-matmul; the verification batch is "
+         "latency/HBM-bound, not MXU-bound — rate, not MFU, is the "
+         "objective here")
+    RESULT.update(
+        value=round(vps, 1),
+        vs_baseline=round(vps / baseline, 2),
+        stage_ms=stages,
+        tflops_per_s=round(flops_per_s / 1e12, 4),
+        mfu=round(mfu, 5) if mfu is not None else None,
+        matcher_kernel_path=("pallas" if pallas else
+                             "xla" if pallas is not None else "unknown"),
+        acceptance_rate=round(acc, 3),
+    )
 
-    rps = rps_campus = None
-    try:
-        rps = bench_rbcd()
-        print(f"rbcd rounds/s (6x256 graph, bucketed): {rps:.2f}",
-              file=sys.stderr)
-        rps_campus = bench_rbcd(n_poses=2048, reps=3, n_intra_lc=64,
-                                n_inter_lc=64)
-        print(f"rbcd rounds/s (6x2048 campus-scale, bucketed): "
-              f"{rps_campus:.2f}", file=sys.stderr)
-    except Exception as e:  # secondary metric must not kill the bench
-        print(f"rbcd bench failed: {e}", file=sys.stderr)
+    # --- secondary metrics, each timeboxed --------------------------------
+    skipped = []
+    if _remaining() > 60:
+        try:
+            rps = bench_rbcd()
+            _log(f"rbcd rounds/s (6x256 graph, bucketed): {rps:.2f}")
+            RESULT["rbcd_rounds_per_s_6x256"] = round(rps, 2)
+        except Exception as e:
+            _log(f"rbcd 6x256 bench failed: {e}")
+            skipped.append("rbcd_6x256:error")
+    else:
+        _log(f"skipping rbcd 6x256 ({_remaining():.0f}s left < 60s)")
+        skipped.append("rbcd_6x256:deadline")
 
-    out = {
-        "metric": "lc_verifications_per_s_per_chip",
-        "value": round(vps, 1),
-        "unit": "verifications/s",
-        "vs_baseline": round(vps / baseline, 2),
-        "baseline_measured": round(baseline, 1),
-        "baseline_source": baseline_src,
-        "stage_ms": stages,
-        "tflops_per_s": round(flops_per_s / 1e12, 4),
-        "mfu": round(mfu, 5) if mfu is not None else None,
-        "device": kind,
-        "rbcd_rounds_per_s_6x256": round(rps, 2) if rps else None,
-        "rbcd_rounds_per_s_6x2048": (round(rps_campus, 2)
-                                     if rps_campus else None),
-    }
-    print(json.dumps(out))
+    if _remaining() > 90:
+        try:
+            rps_campus = bench_rbcd(n_poses=2048, reps=3, n_intra_lc=64,
+                                    n_inter_lc=64)
+            _log(f"rbcd rounds/s (6x2048 campus-scale, bucketed): "
+                 f"{rps_campus:.2f}")
+            RESULT["rbcd_rounds_per_s_6x2048"] = round(rps_campus, 2)
+        except Exception as e:
+            _log(f"rbcd campus bench failed: {e}")
+            skipped.append("rbcd_6x2048:error")
+    else:
+        _log(f"skipping rbcd 6x2048 ({_remaining():.0f}s left < 90s)")
+        skipped.append("rbcd_6x2048:deadline")
+
+    if skipped:
+        RESULT["skipped_phases"] = skipped
+    RESULT["bench_wall_s"] = round(_elapsed(), 1)
+    emit(final=True)
 
 
 if __name__ == "__main__":
