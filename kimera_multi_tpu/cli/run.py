@@ -29,7 +29,8 @@ import time
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="kimera_multi_tpu runner")
-    p.add_argument("--mode", choices=["sim", "sim-sharded"], default="sim")
+    p.add_argument("--mode", choices=["sim", "sim-sharded", "vio-sim"],
+                   default="sim")
     p.add_argument("--robots", type=int, default=2)
     p.add_argument("--steps", type=int, default=60)
     p.add_argument("--features", type=int, default=96)
@@ -65,6 +66,8 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+    if args.mode == "vio-sim":
+        return run_vio_sim(args)
     return run_sim(args)
 
 
@@ -263,6 +266,162 @@ def run_sim(args):
         write_artifacts(args, world, params)
     return dict(ape=results, n_opt_poses=args.robots * ppr,
                 n_keyframes=args.robots * args.steps)
+
+
+class _VioWorld:
+    """World-shaped shim over per-robot VIO keyframe products so the
+    vio-sim path reuses write_logs (timestamps/GT at keyframe times)."""
+
+    def __init__(self, timestamps, t_gt, R_gt, R_odo, t_odo):
+        self.timestamps = timestamps  # (R, T)
+        self.t_gt = t_gt  # (R, T, 3)
+        self.R_gt = R_gt  # (R, T, 3, 3)
+        self.R_odo = R_odo  # (R, T-1, 3, 3)
+        self.t_odo = t_odo  # (R, T-1, 3)
+
+
+def run_vio_sim(args):
+    """VIO -> distributed LCD -> robust PGO from PIXELS, one command.
+
+    The reference's full per-robot data path (SURVEY.md section 3.4:
+    rosbag -> Kimera-VIO -> BoW/VLC frames -> distributed front-end ->
+    dpgo), on rendered stereo+IMU streams (io/render.py substitutes for
+    recorded rosbags, SURVEY.md section 4.2). All robots traverse the SAME
+    scene on one arc with staggered frame windows, so later robots revisit
+    earlier robots' places — the inter-robot loop-closure topology of the
+    campus runs (examples/1014-example.yaml:50-97).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core import lie
+    from ..frontend import batched as batched_mod, dlc, vocab as vocab_mod
+    from ..io import render as render_mod
+    from ..solve import pgo, robust
+    from ..vio import pipeline as vio_pipeline
+    from ..vio.undistort import CameraModel
+
+    t_start = time.time()
+    Rn, F = args.robots, args.steps
+    H, W = 96, 128
+    cam = CameraModel(fx=110.0, fy=110.0, cx=W / 2, cy=H / 2)
+    rig = render_mod.StereoRig(cam=cam, H=H, W=W, baseline=0.2)
+    # 50% window overlap between consecutive robots => guaranteed revisits
+    stride = max(F // 2, 1)
+    F_total = stride * (Rn - 1) + F
+    print(f"[run] rendering {F_total} stereo frames ({Rn} robots x {F} "
+          f"frames, stride {stride})", file=sys.stderr)
+    scene = render_mod.make_scene(seed=args.seed, n_points=350)
+    seq = render_mod.render_sequence(
+        scene, rig, n_frames=F_total, rate_hz=10.0, imu_rate_hz=100.0,
+        speed=0.6, yaw_rate=0.1)
+
+    cfg = vio_pipeline.PipelineConfig(
+        cam=cam, baseline=rig.baseline, window_size=8, max_features=96,
+        gftt=vio_pipeline.tracking.GfttParams(max_features=96,
+                                              min_distance=6,
+                                              quality_level=0.001),
+        klt=vio_pipeline.tracking.KltParams(win_size=12, max_level=3,
+                                            max_iter=20),
+        min_intra_keyframe_time=0.0, disparity_threshold=0.0,
+        ransac_iterations=200, min_mono_inliers=8, min_stereo_inliers=4,
+        vio=vio_pipeline.smoother.VioConfig(gn_iters=12),
+        imu=vio_pipeline.imu_mod.ImuParams(gyro_noise=2e-3,
+                                           accel_noise=2e-2),
+    )
+
+    # ---- per-robot VIO over its frame window -------------------------
+    K = cfg.max_features
+    kf_all = []
+    for r in range(Rn):
+        o = r * stride
+        vio = vio_pipeline.VioPipeline(cfg)
+        imu_lo = np.searchsorted(seq.imu_ts, seq.timestamps[o],
+                                 side="right")
+        imu_i = int(imu_lo)
+        kfs = []
+        for k in range(o, o + F):
+            ts = seq.timestamps[k]
+            while imu_i < len(seq.imu_ts) and seq.imu_ts[imu_i] <= ts:
+                vio.add_imu(seq.imu_ts[imu_i], seq.gyro[imu_i],
+                            seq.accel[imu_i])
+                imu_i += 1
+            kf = vio.process_frame(ts, seq.left[k], seq.right[k])
+            if kf is not None:
+                kfs.append(kf)
+        kf_all.append(kfs)
+        print(f"[run] robot {r}: VIO produced {len(kfs)} keyframes "
+              f"(frames {o}..{o + F - 1})", file=sys.stderr)
+
+    T = min(len(k) for k in kf_all)  # uniform horizon across the fleet
+    kf_all = [k[:T] for k in kf_all]
+
+    # ---- keyframe products -> the distributed front-end --------------
+    desc = np.zeros((Rn, T, K, 32), np.uint8)
+    bear = np.zeros((Rn, T, K, 3), np.float32)
+    lm = np.zeros((Rn, T, K, 3), np.float32)
+    val = np.zeros((Rn, T, K), bool)
+    ts_kf = np.zeros((Rn, T), np.float64)
+    for r, kfs in enumerate(kf_all):
+        for k, kf in enumerate(kfs):
+            n = min(K, kf.descriptors.shape[0])
+            desc[r, k, :n] = kf.descriptors[:n]
+            bear[r, k, :n] = kf.bearings[:n]
+            lm[r, k, :n] = kf.landmarks[:n]
+            val[r, k, :n] = (np.asarray(kf.valid)
+                             & np.asarray(kf.lm_valid))[:n]
+            ts_kf[r, k] = kf.timestamp
+
+    corpus = desc[val].reshape(-1, 32)
+    sub = corpus[:: max(1, len(corpus) // 4000)]
+    voc = vocab_mod.build_vocabulary(sub, k=8, depth=3, seed=args.seed)
+    fcfg = dlc.FrontendConfig(base_seed=args.seed)
+    fe = batched_mod.BatchedFrontend(Rn, T, voc, fcfg)
+    print("[run] front-end (batched detect + verify) on VIO keyframes...",
+          file=sys.stderr)
+    stats = fe.process_all(desc, bear, lm, val)
+    n_inter = sum(1 for l in fe.loops if l.robot_a != l.robot_b)
+    print(f"[run] committed loop closures: {len(fe.loops)} "
+          f"({n_inter} inter-robot; attempts {len(fe.lcd_attempts)})",
+          file=sys.stderr)
+
+    # ---- odometry edges from VIO keyframe estimates -------------------
+    R_odo = np.zeros((Rn, T - 1, 3, 3), np.float32)
+    t_odo = np.zeros((Rn, T - 1, 3), np.float32)
+    for r, kfs in enumerate(kf_all):
+        Ra = np.stack([kf.R for kf in kfs])  # (T, 3, 3)
+        ta = np.stack([kf.t for kf in kfs])
+        R_odo[r] = np.einsum("kji,kjl->kil", Ra[:-1], Ra[1:])
+        t_odo[r] = np.einsum("kji,kj->ki", Ra[:-1], ta[1:] - ta[:-1])
+
+    edges = fe.build_pose_graph(R_odo, t_odo)
+    params0 = pgo.init_from_odometry(edges, Rn, T)
+    print("[run] back-end optimization...", file=sys.stderr)
+    params, gstate = robust.robust_pgo(params0, edges, T,
+                                       gnc_outer_iters=args.gnc_rounds)
+
+    # GT at keyframe times (for the APE contract)
+    gt_idx = np.clip(np.searchsorted(seq.timestamps, ts_kf), 0,
+                     F_total - 1)
+    world = _VioWorld(
+        timestamps=ts_kf,
+        t_gt=seq.t_gt[gt_idx],
+        R_gt=seq.R_gt[gt_idx],
+        R_odo=R_odo, t_odo=t_odo)
+
+    args_logged = args
+    args_logged.steps = T  # write_logs slices by T
+    results = write_logs(args_logged, world, fe, params,
+                         gstate.weights, [dict(
+                             robot_id=0, instance=0, iteration=0,
+                             num_poses=Rn * T, bytes_received=0,
+                             iteration_time_sec=0.0,
+                             total_time_sec=time.time() - t_start,
+                             rel_change=0.0, func_decrease=0.0,
+                             grad_norm=0.0, num_active_robots=Rn)])
+    return dict(ape=results, n_keyframes=Rn * T,
+                n_loops=len(fe.loops), n_inter_loops=n_inter,
+                frontend_stats=stats)
 
 
 def _dump_round_trajectories(args, world, state, dump_idx, expand_fn=None,
