@@ -108,6 +108,12 @@ class DistributedFrontend:
         self._self_score = jax.jit(bow_kernel.l1_scores)
         self._verify = self._build_verifier()
         self.bow_overflow = 0
+        # temporal-constraint state per (query robot, target robot):
+        # previous best-island representative + consecutive-consistency
+        # counter (checkTemporalConstraint, drawio:1565) — identical
+        # semantics to the batched scan (batched.py step carry)
+        self.prev_island = np.full((n_robots, n_robots), -1, np.int32)
+        self.consec = np.zeros((n_robots, n_robots), np.int32)
 
     def _build_verifier(self):
         cfg = self.cfg
@@ -178,9 +184,26 @@ class DistributedFrontend:
                                      self_query_frame=jnp.asarray(frame))
             else:
                 res = lcd_mod.detect(db, qs_ids, qs_w, nss, cfg.lcd)
-            if not bool(res.detected):
+            # temporal constraint: mirror the batched scan exactly
+            # (batched.py:123-132) — consecutive temporally-consistent best
+            # islands required before a detection fires
+            v0 = bool(res.detected)
+            m0 = int(res.match_id)
+            p = int(self.prev_island[robot, target])
+            c = int(self.consec[robot, target])
+            if cfg.lcd.min_temporal_matches > 1:
+                close = p >= 0 and abs(m0 - p) <= \
+                    cfg.lcd.max_nrFrames_between_islands
+                c_new = (c + 1 if close else 1) if v0 else 0
+                gate = v0 and c_new >= cfg.lcd.min_temporal_matches
+            else:
+                c_new = c + 1 if v0 else 0
+                gate = v0
+            self.prev_island[robot, target] = m0 if v0 else -1
+            self.consec[robot, target] = c_new
+            if not gate:
                 continue
-            match = int(res.match_id)
+            match = m0
             lc = self._verify_pair(robot, frame, target, match,
                                    float(res.island_score),
                                    desc, v, bearings, landmarks)
