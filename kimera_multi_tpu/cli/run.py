@@ -206,7 +206,16 @@ def run_sim(args):
         else:
             state = rounds.init_state(m, Y0, jnp.ones(args.robots, bool),
                                       edges, ppr, init_weights=w0)
-        comm_bytes = rounds.round_comm_bytes(Y0.shape, rcfg.inner_iters)
+        # bytes_received measured from the compiled round's HLO collectives
+        # (reference counter: mTotalBytesReceived, drawio:2355); analytic
+        # model as fallback
+        try:
+            comm_bytes = rounds.measured_round_comm_bytes(
+                round_fn, state, rcfg.inner_iters)
+        except Exception as e:
+            print(f"[run] HLO comm-byte measurement failed ({e}); "
+                  f"using analytic model", file=sys.stderr)
+            comm_bytes = rounds.round_comm_bytes(Y0.shape, rcfg.inner_iters)
         dpgo_rows = []
         dump_idx = 0
         for i in range(args.gnc_rounds):

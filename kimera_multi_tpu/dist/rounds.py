@@ -157,16 +157,83 @@ def make_round_fn(
 
 
 def round_comm_bytes(Y_shape, inner_iters: int) -> int:
-    """Per-robot bytes received per round over the collective schedule —
-    the observability counterpart of dpgo_ros's `mTotalBytesReceived`
-    (drawio:2355). Per inner cycle each shard gathers the other shards'
-    blocks (Y), active flags, and proposed deltas; plus the final cost
-    gather."""
+    """ANALYTIC per-robot bytes received per round over the collective
+    schedule — the observability counterpart of dpgo_ros's
+    `mTotalBytesReceived` (drawio:2355). Per inner cycle each shard
+    gathers the other shards' blocks (Y), active flags, and proposed
+    deltas; plus the final cost gather. Prefer
+    `measured_round_comm_bytes` (read from the compiled HLO) where a
+    compiled round is available."""
     R, N, r, dp1 = Y_shape
     block = N * r * dp1 * 4  # f32
     per_cycle = (R - 1) * (2 * block + 1)  # Y gather + delta gather + active
     final = (R - 1) * block
     return inner_iters * per_cycle + final
+
+
+_DTYPE_BYTES = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
+                "bf16": 2, "f16": 2, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+                "pred": 1}
+_COLLECTIVE_RE = __import__("re").compile(
+    r"= ([^=]*?) (all-gather|all-reduce|reduce-scatter|collective-permute"
+    r"|all-to-all)\(")
+_SHAPE_RE = __import__("re").compile(r"(f64|f32|f16|bf16|s64|s32|s16|s8"
+                                     r"|u64|u32|u16|u8|pred)\[([\d,]*)\]")
+_GROUPS_LIST_RE = __import__("re").compile(r"replica_groups=\{\{([\d,]+)\}")
+_GROUPS_IOTA_RE = __import__("re").compile(r"replica_groups=\[\d+,(\d+)\]")
+
+
+def measured_round_comm_bytes(round_fn, state, inner_iters: int) -> int:
+    """Per-shard bytes RECEIVED in one compiled round, read from the
+    round's compiled HLO collectives (VERDICT round-2 item 10: the
+    reference actually counts received bytes, drawio:2355; the analytic
+    formula is a model, this is the measurement).
+
+    Accounting per collective (ring algorithms over group size R):
+      all-gather       (R-1)/R x output bytes
+      all-reduce       2 (R-1)/R x payload bytes
+      reduce-scatter   (R-1)/R x input bytes ~= (R-1) x output bytes
+      collective-permute  full payload
+    Ops inside the round's `while` body (the inner-iteration loop) run
+    `inner_iters` times and are multiplied accordingly. Collectives inside
+    `cond` branches (the GNC weight-update reduction) execute only on
+    weight-update rounds and are excluded — the returned number is the
+    bytes of a plain UPDATE round, matching what the reference's counter
+    accumulates between UPDATE_WEIGHT commands.
+    """
+    txt = round_fn.lower(state).compile().as_text()
+    total = 0.0
+    for line in txt.splitlines():
+        m = _COLLECTIVE_RE.search(line)
+        if not m or "/cond/" in line:
+            continue
+        result_part, op = m.groups()
+        nbytes = 0
+        for dt, dims in _SHAPE_RE.findall(result_part):
+            sz = _DTYPE_BYTES[dt]
+            for d in dims.split(","):
+                if d:
+                    sz *= int(d)
+            nbytes += sz
+        g = _GROUPS_LIST_RE.search(line)
+        if g:
+            R = len(g.group(1).split(","))
+        else:
+            g = _GROUPS_IOTA_RE.search(line)
+            R = int(g.group(1)) if g else 1
+        if R <= 1:
+            continue
+        if op == "all-gather":
+            recv = nbytes * (R - 1) / R
+        elif op == "all-reduce":
+            recv = 2 * nbytes * (R - 1) / R
+        elif op == "reduce-scatter":
+            recv = nbytes * (R - 1)
+        else:  # collective-permute / all-to-all
+            recv = nbytes
+        mult = inner_iters if "while" in line else 1
+        total += recv * mult
+    return int(total)
 
 
 def init_state(

@@ -197,3 +197,32 @@ def test_chain_sequence_parallel_solve():
     assert np.abs(t_sharded - t_ref).max() < 1e-3
     # and both near ground truth
     assert np.abs(t_sharded - t_gt).max() < 0.1
+
+
+def test_measured_comm_bytes_from_hlo():
+    """Per-round received bytes measured from the compiled HLO collectives
+    (reference counter mTotalBytesReceived, drawio:2355): must scale with
+    mesh size and agree with the analytic collective-schedule model on its
+    dominant term (the Y/delta block gathers)."""
+    measured = {}
+    analytic = {}
+    for n_robots in (2, 4):
+        g, params0, Y0 = _setup(seed=12, n_robots=n_robots, n_poses=16)
+        cfg = rbcd.RbcdConfig(inner_iters=2, cg_iters=5)
+        m = mesh_mod.robot_mesh(n_robots, intra=1)
+        round_fn = rounds.make_round_fn(m, g.edges, g.poses_per_robot, cfg,
+                                        weight_update_every=1000)
+        state = rounds.init_state(m, Y0, jnp.ones(n_robots, bool), g.edges,
+                                  g.poses_per_robot)
+        measured[n_robots] = rounds.measured_round_comm_bytes(
+            round_fn, state, cfg.inner_iters)
+        analytic[n_robots] = rounds.round_comm_bytes(Y0.shape,
+                                                     cfg.inner_iters)
+    # scales with mesh size
+    assert measured[4] > measured[2] > 0
+    # the analytic model counts the same dominant gathers the compiler
+    # emits; XLA may add/fuse small collectives (cost gather, flags), so
+    # agreement is within a factor of 2 on both fixtures
+    for n in (2, 4):
+        ratio = measured[n] / analytic[n]
+        assert 0.5 < ratio < 2.0, (n, measured[n], analytic[n])
