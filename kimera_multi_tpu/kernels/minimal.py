@@ -141,7 +141,8 @@ def _essential_constraints(E: jnp.ndarray) -> jnp.ndarray:
         [d[..., None], C.reshape(*C.shape[:-2], 9)], axis=-1)
 
 
-def essential_5pt(f1: jnp.ndarray, f2: jnp.ndarray, n_starts: int = 8):
+def essential_5pt(f1: jnp.ndarray, f2: jnp.ndarray, n_starts: int = 16,
+                  gn_iters: int = 20):
     """Five-point essential matrix solver, TPU-native.
 
     Role of opengv's Nister/Stewenius 5-pt (the reference's configured
@@ -155,10 +156,21 @@ def essential_5pt(f1: jnp.ndarray, f2: jnp.ndarray, n_starts: int = 8):
     are returned and RANSAC scoring picks the best, exactly as Nister's
     multiple roots are all scored by opengv.
 
+    The polish runs in lane-major SoA form with an analytic Jacobian
+    (soa.essential5_polish_soa): the earlier AoS + per-direction-jvp
+    version spent ~99% of verification time in tiny-op launch overhead
+    (measured 1.38 s per 16k models on TPU vs ~12 ms to score all of
+    them). GN on the constraint system converges quadratically;
+    `gn_iters`=20 with 16 starts finds MORE true roots than the old
+    40-iteration 8-start version (23/24 vs 21/24 on the minimal-sample
+    fixture) at a fraction of the cost — extra starts are nearly free in
+    SoA (one more lane batch), extra iterations are not.
+
     f1, f2: (..., 5, 3) unit bearings. Returns (E (..., n_starts, 3, 3),
     ok (...,)).
     """
-    from .linalg import cholesky_unrolled, smallest_eigvecs_psd
+    from . import soa
+    from .linalg import smallest_eigvecs_psd
 
     # nullspace basis: 4 smallest eigvecs of the 9x9 normal matrix
     rows = (f2[..., :, :, None] * f1[..., :, None, :]).reshape(
@@ -167,61 +179,22 @@ def essential_5pt(f1: jnp.ndarray, f2: jnp.ndarray, n_starts: int = 8):
     basis = smallest_eigvecs_psd(N, 4)  # (..., 9, 4)
     ok = jnp.ones(N.shape[:-2], bool)
 
-    Ebasis = jnp.swapaxes(basis, -1, -2).reshape(
-        *basis.shape[:-2], 4, 3, 3)  # (..., 4, 3, 3)
+    # SoA: basis entries (..., 1) broadcast against the start axis in q
+    B9 = [[basis[..., i, s][..., None] for i in range(9)]
+          for s in range(4)]
+    starts = _FIVEPT_STARTS[:n_starts]  # (S, 4)
+    batch = f1.shape[:-2]
+    q0 = [jnp.broadcast_to(starts[:, s], batch + (n_starts,))
+          for s in range(4)]
 
-    def make_E(q):
-        return jnp.einsum("...s,...sij->...ij", q, Ebasis)
-
-    def resid(q):
-        E = make_E(q)
-        r = _essential_constraints(E)
-        return r  # (..., 10)
-
-    def polish(q):
-        # Gauss-Newton on the sphere: the constraint system is homogeneous
-        # (r(lam q) = lam^3 r(q)), so the radial direction is a gauge —
-        # project it out of both J and the step, cap the step (trust
-        # region), renormalize. All starts then converge to true roots.
-        from .linalg import _tri_solve_unrolled
-
-        def gn(_, q):
-            r = resid(q)
-            eye4 = jnp.eye(4, dtype=q.dtype)
-            Jcols = jnp.stack(
-                [jax.jvp(resid, (q,),
-                         (jnp.broadcast_to(eye4[i], q.shape),))[1]
-                 for i in range(4)],
-                axis=-1,
-            )  # (..., 10, 4)
-            Jcols = Jcols - jnp.einsum(
-                "...ki,...i,...j->...kj", Jcols, q, q)
-            JtJ = jnp.einsum("...ki,...kj->...ij", Jcols, Jcols)
-            g = jnp.einsum("...ki,...k->...i", Jcols, r)
-            L = cholesky_unrolled(JtJ + 1e-6 * jnp.eye(4, dtype=q.dtype))
-            y = _tri_solve_unrolled(L, -g, lower=True)
-            dq = _tri_solve_unrolled(L, y, lower=False)
-            dq = dq - jnp.sum(dq * q, axis=-1, keepdims=True) * q
-            n = jnp.linalg.norm(dq, axis=-1, keepdims=True)
-            dq = dq * jnp.minimum(1.0, 0.4 / jnp.maximum(n, _EPS))
-            q = q + dq
-            return q / jnp.maximum(
-                jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
-
-        return jax.lax.fori_loop(0, 40, gn, q)
-
-    starts = _FIVEPT_STARTS[:n_starts]
-    # broadcast starts over the batch: (..., n_starts, 4)
-    q0 = jnp.broadcast_to(starts, f1.shape[:-2] + starts.shape)
-
-    def per_start(q):
-        qp = polish(q)
-        E = make_E(qp)
-        # project to the essential manifold (exact rank/singular structure)
-        Ep, okp = _project_essential(E)
-        return Ep
-
-    E_all = jax.vmap(per_start, in_axes=-2, out_axes=-3)(q0)
+    q = soa.essential5_polish_soa(B9, q0, n_iters=gn_iters)
+    E9 = [q[0] * B9[0][i] + q[1] * B9[1][i] + q[2] * B9[2][i]
+          + q[3] * B9[3][i] for i in range(9)]
+    Eproj, _okp = soa.project_essential_soa(E9)
+    # (..., S) entries -> (..., S, 3, 3)
+    E_all = jnp.stack(
+        [jnp.stack([Eproj[i][j] for j in range(3)], axis=-1)
+         for i in range(3)], axis=-2)
     return E_all, ok
 
 

@@ -252,7 +252,7 @@ def ransac_essential_5pt(
     threshold: float = 1e-6,
     n_hyp: int = 200,
     min_inliers: int = 10,
-    n_starts: int = 8,
+    n_starts: int = 16,
 ):
     """2d2d monocular RANSAC with the true 5-point minimal solver
     (reference `ransac_2d2d_algorithm: 0/1` — Stewenius/Nister). Each

@@ -360,3 +360,132 @@ def essential8(f1s, f2s):
              for i in range(3)]
     ok = s2 > 1e-6 * jnp.maximum(s1, _EPS)
     return Eproj, ok
+
+
+# ---------------------------------------------------------------------------
+# 5-point essential polish: Gauss-Newton on S^3 intersecting the essential
+# variety, fully SoA (mirror of the AoS polish in minimal.essential_5pt).
+# ---------------------------------------------------------------------------
+
+
+def essential5_polish_soa(B9, q, n_iters: int = 16, step_cap: float = 0.4,
+                          damping: float = 1e-6):
+    """Multi-root GN polish for the 5-point problem, lane-major.
+
+    E(q) = sum_s q_s B_s must satisfy the 10 essential constraints
+    (det(E) = 0 and 2 E E^T E - tr(E E^T) E = 0). B9: list over s=0..3 of
+    9-entry row-major lists, entries (B,)-broadcastable arrays; q: list of
+    4 arrays broadcastable against them (callers put the multi-start axis
+    in q only). The Jacobian is ANALYTIC (d det = <cof(E), V>;
+    dC[V] = 2(V E^T E + E V^T E + E E^T V) - 2 tr(E V^T) E - tr(E E^T) V)
+    — no autodiff re-tracing, every entry its own lane-major array: the
+    AoS + 4x-jvp version of this polish ran at ~0.003% of peak (tiny-op
+    launch overhead), which made the 5-pt mono gate 1000x slower than the
+    8-pt path on TPU.
+
+    Gauge handling mirrors the AoS polish: the constraint system is
+    homogeneous, so the radial direction is projected out of J and the
+    step; steps are capped at `step_cap` and q is renormalized.
+    """
+    import jax
+
+    def _E_of(qc):
+        return [qc[0] * B9[0][i] + qc[1] * B9[1][i]
+                + qc[2] * B9[2][i] + qc[3] * B9[3][i] for i in range(9)]
+
+    def gn(_, qc):
+        E = _E_of(qc)  # row-major 9 entries
+
+        def at(M, r, c):
+            return M[3 * r + c]
+
+        # E E^T and E^T E (symmetric 3x3, as nested lists)
+        EEt = [[sum(at(E, r, k) * at(E, c, k) for k in range(3))
+                for c in range(3)] for r in range(3)]
+        EtE = [[sum(at(E, k, r) * at(E, k, c) for k in range(3))
+                for c in range(3)] for r in range(3)]
+        tr = EEt[0][0] + EEt[1][1] + EEt[2][2]
+
+        # residual r = [det(E), vec(2 EEt E - tr E)]
+        det = (at(E, 0, 0) * (at(E, 1, 1) * at(E, 2, 2)
+                              - at(E, 1, 2) * at(E, 2, 1))
+               - at(E, 0, 1) * (at(E, 1, 0) * at(E, 2, 2)
+                                - at(E, 1, 2) * at(E, 2, 0))
+               + at(E, 0, 2) * (at(E, 1, 0) * at(E, 2, 1)
+                                - at(E, 1, 1) * at(E, 2, 0)))
+        C = [2.0 * sum(EEt[r][k] * at(E, k, c) for k in range(3))
+             - tr * at(E, r, c) for r in range(3) for c in range(3)]
+        res = [det] + C  # 10 entries
+
+        # cofactor matrix (d det / d E_rc)
+        cof = [[at(E, (r + 1) % 3, (c + 1) % 3) * at(E, (r + 2) % 3, (c + 2) % 3)
+                - at(E, (r + 1) % 3, (c + 2) % 3) * at(E, (r + 2) % 3, (c + 1) % 3)
+                for c in range(3)] for r in range(3)]
+
+        # analytic Jacobian columns (10 x 4)
+        Jcols = []
+        for s in range(4):
+            V = B9[s]
+            d_det = sum(cof[r][c] * at(V, r, c)
+                        for r in range(3) for c in range(3))
+            trEV = sum(at(E, r, c) * at(V, r, c)
+                       for r in range(3) for c in range(3))
+            VtE = [[sum(at(V, k, r) * at(E, k, c) for k in range(3))
+                    for c in range(3)] for r in range(3)]
+            col = [d_det]
+            for r in range(3):
+                for c in range(3):
+                    m_a = sum(at(V, r, k) * EtE[k][c] for k in range(3))
+                    m_b = sum(at(E, r, k) * VtE[k][c] for k in range(3))
+                    m_c = sum(EEt[r][k] * at(V, k, c) for k in range(3))
+                    col.append(2.0 * (m_a + m_b + m_c)
+                               - 2.0 * trEV * at(E, r, c) - tr * at(V, r, c))
+            Jcols.append(col)  # col: 10 entries
+
+        # project the radial gauge direction out of J: J_k -= <J_k, q> q
+        for k in range(10):
+            dk = sum(Jcols[s][k] * qc[s] for s in range(4))
+            for s in range(4):
+                Jcols[s][k] = Jcols[s][k] - dk * qc[s]
+
+        # normal equations (4x4) + damping
+        JtJ = [[sum(Jcols[i][k] * Jcols[j][k] for k in range(10))
+                for j in range(4)] for i in range(4)]
+        for i in range(4):
+            JtJ[i][i] = JtJ[i][i] + damping
+        g = [sum(Jcols[i][k] * res[k] for k in range(10)) for i in range(4)]
+
+        L = chol_soa(JtJ)
+        y = tri_solve_soa(L, [-gi for gi in g], lower=True)
+        dq = tri_solve_soa(L, y, lower=False)
+        # project the gauge out of the step, cap, renormalize
+        dq_q = sum(dq[s] * qc[s] for s in range(4))
+        dq = [dq[s] - dq_q * qc[s] for s in range(4)]
+        n = jnp.sqrt(sum(d * d for d in dq))
+        scale = jnp.minimum(1.0, step_cap / jnp.maximum(n, _EPS))
+        qn = [qc[s] + dq[s] * scale for s in range(4)]
+        nq = jnp.maximum(jnp.sqrt(sum(c * c for c in qn)), _EPS)
+        return [c / nq for c in qn]
+
+    q = jax.lax.fori_loop(0, n_iters, gn, list(q))
+    return q
+
+
+def project_essential_soa(E):
+    """Project a row-major 9-entry SoA matrix onto the essential manifold
+    (same algebra as the tail of `essential8`). Returns (Eproj nested
+    3x3 list, ok)."""
+    Em = [[E[3 * i + j] for j in range(3)] for i in range(3)]
+    A = [[sum(Em[l][i] * Em[l][j] for l in range(3)) for j in range(3)]
+         for i in range(3)]
+    evals, V = eigh3x3(A)
+    s1 = jnp.sqrt(jnp.maximum(evals[0], 0.0))
+    s2 = jnp.sqrt(jnp.maximum(evals[1], 0.0))
+    v1, v2 = V[0], V[1]
+    u1 = _unit(mat3_vec(Em, v1))
+    u2r = mat3_vec(Em, v2)
+    u2 = _unit(v_sub(u2r, v_scale(u1, v_dot(u2r, u1))))
+    Eproj = [[u1[i] * v1[j] + u2[i] * v2[j] for j in range(3)]
+             for i in range(3)]
+    ok = s2 > 1e-6 * jnp.maximum(s1, _EPS)
+    return Eproj, ok
