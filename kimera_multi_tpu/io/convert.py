@@ -1,0 +1,165 @@
+"""Recorded-data converter: EuRoC session trees -> replay observation
+streams + GT TUM.
+
+Fulfills the io/replay.py format contract from real recordings (VERDICT
+round-2 item 6): one EuRoC session per robot (the reference's rosbag data
+provider role, images/kimera-multi.drawio:834-863; EuRoC multi-session as
+pseudo-multi-robot is BASELINE.json config 4; the Kimera-Multi-Data
+releases ship the same ASL layout) is run through the VIO pipeline
+(vio/pipeline.py) and its keyframe products — packed descriptors, unit
+bearings, stereo landmarks, validity, timestamps — are written as
+`obs_robot<k>.npz`, the exact format `cli/replay.py` consumes. GT (when
+the session carries state_groundtruth_estimate0) is written as a TUM file
+for the APE acceptance path (examples/evo_real_time.py contract).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from . import dataset as dataset_mod, logs, replay as replay_mod
+
+
+def load_image(path: str) -> np.ndarray:
+    """Load a grayscale image as (H, W) float32 in [0, 255]-ish range.
+
+    Native parsers for .npy and binary .pgm (P5) keep the converter
+    dependency-free; other formats fall back to PIL when available.
+    """
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    if path.endswith(".pgm"):
+        with open(path, "rb") as f:
+            magic = f.readline().strip()
+            if magic not in (b"P5", b"P2"):
+                raise ValueError(f"unsupported PGM magic {magic!r}")
+            line = f.readline()
+            while line.startswith(b"#"):
+                line = f.readline()
+            w, h = (int(x) for x in line.split())
+            maxval = int(f.readline())
+            if magic == b"P5":
+                dt = np.uint8 if maxval < 256 else ">u2"
+                img = np.frombuffer(f.read(), dtype=dt, count=w * h)
+            else:
+                img = np.asarray(f.read().split(), dtype=np.int32)[: w * h]
+            return img.reshape(h, w).astype(np.float32)
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("L"), np.float32)
+
+
+def euroc_to_observations(root: str, cfg=None, max_frames: int | None = None,
+                          log=print):
+    """Run the VIO pipeline over one EuRoC session; return
+    (ObservationStream, EurocSession, keyframe poses (T, 3, 3)/(T, 3))."""
+    from ..vio import pipeline as vio_pipeline
+    from ..vio.undistort import CameraModel
+
+    s = dataset_mod.load_euroc(root)
+    if len(s.cam_files) == 0:
+        raise ValueError(f"no cam0 frames under {root}")
+    first = load_image(s.cam_files[0])
+    H, W = first.shape
+    if s.intrinsics is not None:
+        fu, fv, cu, cv = s.intrinsics
+    else:
+        fu = fv = 0.85 * W
+        cu, cv = W / 2.0, H / 2.0
+    base = vio_pipeline.PipelineConfig()
+    if cfg is None:
+        cfg = base._replace(
+            cam=CameraModel(fx=fu, fy=fv, cx=cu, cy=cv),
+            baseline=s.baseline if s.cam1_files else 0.0,
+            window_size=8, max_features=96,
+            gftt=vio_pipeline.tracking.GfttParams(
+                max_features=96, min_distance=6, quality_level=0.001),
+            klt=vio_pipeline.tracking.KltParams(win_size=12, max_level=3,
+                                                max_iter=20),
+            min_intra_keyframe_time=0.0, disparity_threshold=0.0,
+            ransac_iterations=200, min_mono_inliers=8, min_stereo_inliers=4,
+        )
+    vio = vio_pipeline.VioPipeline(cfg)
+    n = len(s.cam_files) if max_frames is None else min(len(s.cam_files),
+                                                        max_frames)
+    imu_i = 0
+    kfs = []
+    for k in range(n):
+        ts = s.cam_ts[k]
+        while imu_i < len(s.imu_ts) and s.imu_ts[imu_i] <= ts:
+            vio.add_imu(s.imu_ts[imu_i], s.gyro[imu_i], s.accel[imu_i])
+            imu_i += 1
+        right = (load_image(s.cam1_files[k])
+                 if k < len(s.cam1_files) else None)
+        kf = vio.process_frame(ts, load_image(s.cam_files[k]), right)
+        if kf is not None:
+            kfs.append(kf)
+    if not kfs:
+        raise ValueError(f"VIO produced no keyframes for {root}")
+    T, K = len(kfs), cfg.max_features
+    desc = np.zeros((T, K, 32), np.uint8)
+    bear = np.zeros((T, K, 3), np.float32)
+    lm = np.zeros((T, K, 3), np.float32)
+    val = np.zeros((T, K), bool)
+    ts_out = np.zeros(T, np.float64)
+    for t, kf in enumerate(kfs):
+        m = min(K, kf.descriptors.shape[0])
+        desc[t, :m] = kf.descriptors[:m]
+        bear[t, :m] = kf.bearings[:m]
+        lm[t, :m] = kf.landmarks[:m]
+        val[t, :m] = (np.asarray(kf.valid) & np.asarray(kf.lm_valid))[:m] \
+            if cfg.baseline > 0 else np.asarray(kf.valid)[:m]
+        ts_out[t] = kf.timestamp
+    obs = replay_mod.ObservationStream(
+        descriptors=desc, bearings=bear, landmarks=lm, valid=val,
+        timestamps=ts_out)
+    R_kf = np.stack([kf.R for kf in kfs])
+    t_kf = np.stack([kf.t for kf in kfs])
+    return obs, s, (R_kf, t_kf)
+
+
+def convert_sessions(roots: list, out_dir: str, cfg=None,
+                     max_frames: int | None = None, log=print) -> dict:
+    """Convert one EuRoC session per robot into the replay layout:
+    out_dir/obs_robot<k>.npz (+ gt_robot<k>.tum when GT exists). Returns
+    {robot: {"obs": path, "gt": path | None, "n_keyframes": T}}."""
+    os.makedirs(out_dir, exist_ok=True)
+    out = {}
+    for r, root in enumerate(roots):
+        obs, s, _poses = euroc_to_observations(root, cfg=cfg,
+                                               max_frames=max_frames)
+        p = replay_mod.obs_path(out_dir, r)
+        replay_mod.save_observations(p, obs)
+        gt_path = None
+        if len(s.gt_ts):
+            gt_path = os.path.join(out_dir, f"gt_robot{r}.tum")
+            logs.write_tum(gt_path, s.gt_ts, s.gt_t, s.gt_q)
+        out[r] = dict(obs=p, gt=gt_path,
+                      n_keyframes=obs.descriptors.shape[0])
+        log(f"[convert] robot {r}: {root} -> {p} "
+            f"({obs.descriptors.shape[0]} keyframes"
+            f"{', GT' if gt_path else ''})")
+    return out
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Convert EuRoC session trees to replay observation "
+                    "streams (obs_robot<k>.npz) + GT TUM")
+    p.add_argument("--euroc", action="append", required=True,
+                   help="EuRoC session root (one per robot, repeatable)")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--max-frames", type=int, default=None)
+    args = p.parse_args(argv)
+    convert_sessions(args.euroc, args.out, max_frames=args.max_frames,
+                     log=lambda m: print(m, file=sys.stderr))
+    return 0
+
+
+if __name__ == "__main__":
+    main()

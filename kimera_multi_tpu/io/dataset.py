@@ -19,13 +19,39 @@ import numpy as np
 
 class EurocSession(NamedTuple):
     cam_ts: np.ndarray  # (F,) seconds
-    cam_files: list  # (F,) image paths
+    cam_files: list  # (F,) image paths (cam0)
     imu_ts: np.ndarray  # (M,)
     gyro: np.ndarray  # (M, 3)
     accel: np.ndarray  # (M, 3)
     gt_ts: np.ndarray  # (G,) or empty
     gt_t: np.ndarray  # (G, 3)
     gt_q: np.ndarray  # (G, 4) qx qy qz qw
+    cam1_files: list = []  # (F,) right-camera paths when cam1 exists
+    intrinsics: tuple | None = None  # (fu, fv, cu, cv) from sensor.yaml
+    baseline: float = 0.0  # |t_cam1 - t_cam0| from the T_BS extrinsics
+
+
+def _read_sensor_yaml(path: str):
+    """Minimal EuRoC sensor.yaml parse (intrinsics + T_BS translation)
+    without a YAML dependency — the fields used are single-line lists."""
+    intr = None
+    t_bs = None
+    if not os.path.exists(path):
+        return intr, t_bs
+    txt = open(path).read()
+    import re
+
+    m = re.search(r"intrinsics:\s*\[([^\]]+)\]", txt)
+    if m:
+        vals = [float(x) for x in m.group(1).split(",")]
+        if len(vals) >= 4:
+            intr = tuple(vals[:4])
+    m = re.search(r"data:\s*\[([^\]]+)\]", txt, re.S)
+    if m:
+        vals = [float(x) for x in m.group(1).replace("\n", " ").split(",")]
+        if len(vals) == 16:  # row-major 4x4 T_BS
+            t_bs = np.asarray([vals[3], vals[7], vals[11]], np.float32)
+    return intr, t_bs
 
 
 def load_euroc(root: str) -> EurocSession:
@@ -41,6 +67,19 @@ def load_euroc(root: str) -> EurocSession:
                 cam_ts.append(int(row[0]) * 1e-9)
                 cam_files.append(os.path.join(mav, "cam0", "data",
                                               row[1].strip()))
+    cam1_files = []
+    cam1_csv = os.path.join(mav, "cam1", "data.csv")
+    if os.path.exists(cam1_csv):
+        with open(cam1_csv) as f:
+            for row in csv.reader(f):
+                if not row or row[0].startswith("#"):
+                    continue
+                cam1_files.append(os.path.join(mav, "cam1", "data",
+                                               row[1].strip()))
+    intr, t0 = _read_sensor_yaml(os.path.join(mav, "cam0", "sensor.yaml"))
+    _, t1 = _read_sensor_yaml(os.path.join(mav, "cam1", "sensor.yaml"))
+    baseline = (float(np.linalg.norm(t1 - t0))
+                if t0 is not None and t1 is not None else 0.0)
     imu_csv = os.path.join(mav, "imu0", "data.csv")
     imu_ts, gyro, accel = [], [], []
     if os.path.exists(imu_csv):
@@ -72,6 +111,9 @@ def load_euroc(root: str) -> EurocSession:
         gt_ts=np.asarray(gt_ts),
         gt_t=np.asarray(gt_t, np.float32).reshape(-1, 3),
         gt_q=np.asarray(gt_q, np.float32).reshape(-1, 4),
+        cam1_files=cam1_files,
+        intrinsics=intr,
+        baseline=baseline,
     )
 
 

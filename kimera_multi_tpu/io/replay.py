@@ -16,8 +16,9 @@ Observation streams are stored as one `.npz` per robot
 (`obs_robot<k>.npz`: descriptors (T,K,32) uint8, bearings (T,K,3) f32,
 landmarks (T,K,3) f32, valid (T,K) bool, timestamps (T,) f64) — the
 framework's recorded form of the reference's VLC frames
-(images/kimera-multi.drawio:2601). A converter from real rosbag dumps
-produces the same format; everything downstream is format-agnostic.
+(images/kimera-multi.drawio:2601). `io/convert.py` produces the same
+format from real recordings (EuRoC session trees, one per robot);
+everything downstream is format-agnostic.
 
 Replaying logs this framework produced on the same seed reproduces
 statuses and inlier counts bit-exactly (RNG is structural:
