@@ -187,65 +187,103 @@ def build_vocabulary(descriptors: np.ndarray, k: int = 8, depth: int = 3,
 
 
 def load_dbow2_yml(path: str) -> Vocabulary:
-    """Parse the DBoW2 OpenCV-YAML vocabulary format (`mit_voc.yml` style):
+    """Parse the DBoW2 OpenCV-YAML vocabulary format (`mit_voc.yml` style,
+    reference launch/kimera_vio_jackal.launch:68):
 
         vocabulary:
            k: 10
            L: 5
            scoringType: 0   (L1_NORM)
            weightingType: 0 (TF_IDF)
-           nodes: [ { nodeId, parentId, weight, descriptor "dbw3/dbw2 hex" } ]
+           nodes: [ { nodeId, parentId, weight, descriptor "32 dec bytes" } ]
            words: [ { wordId, nodeId } ]
 
-    Rebuilds the level-wise tensor layout. Nodes absent from a level are
-    invalid branches.
+    Rebuilds the level-wise dense tensor layout used by `transform`:
+
+      * The tree is walked **breadth-first over a parentId->children map**,
+        so node ids may appear in any order in the file and children may
+        carry smaller ids than their parents (DBoW2 makes no ordering
+        promise beyond parent references being resolvable).
+      * DBoW2 trees are **ragged**: a cluster with < 2 descriptors stops
+        branching early, and that node becomes a *word* above the bottom
+        level. The dense layout places words only at level L-1, so each
+        early leaf is extended with a pass-through chain (a single valid
+        child holding the same centroid at every deeper level); `transform`
+        then deterministically follows the chain and lands on one leaf slot
+        per word, preserving exact tree-walk semantics.
+      * Word ids: the framework uses the flat leaf slot at level L-1 as the
+        word id (consistent within one vocabulary — BoW vectors and L1
+        scores are invariant to the relabeling). The file's `words:` block
+        is used only to sanity-check that weighted nodes are leaves.
+
+    Memory plan for the real `mit_voc.yml` (k=10, L=5): dense levels hold
+    10 + 10^2 + ... + 10^5 = 111,110 centroids x 32 B ~= 3.6 MB, plus
+    ~111 KB of validity masks and a 400 KB (10^5,) float32 weight table —
+    negligible against HBM; `transform` is 5 batched Hamming argmins of
+    width 10.
     """
     import re
 
     txt = open(path).read()
     k = int(re.search(r"\bk:\s*(\d+)", txt).group(1))
     L = int(re.search(r"\bL:\s*(\d+)", txt).group(1))
-    node_re = re.compile(
-        r"nodeId:\s*(\d+).*?parentId:\s*(-?\d+).*?weight:\s*([\d.eE+-]+)"
-        r".*?descriptor:.*?\"?([0-9a-fA-F\s]+)\"?", re.S)
-    # parse nodes block
-    nodes = {}
     nodes_block = txt.split("nodes:")[1].split("words:")[0]
-    for m in node_re.finditer(nodes_block):
-        nid, pid, w, desc = m.groups()
-        b = bytes(int(x) for x in desc.split()) if " " in desc.strip() else bytes.fromhex(desc.strip())
-        nodes[int(nid)] = (int(pid), float(w), np.frombuffer(b, np.uint8))
-    words_block = txt.split("words:")[1] if "words:" in txt else ""
-    word_re = re.compile(r"wordId:\s*(\d+).*?nodeId:\s*(\d+)", re.S)
-    word_of_node = {int(n): int(w) for w, n in word_re.findall(words_block)}
+    field_re = re.compile(
+        r"nodeId:\s*(\d+)\s*,?\s*parentId:\s*(-?\d+)\s*,?\s*"
+        r"weight:\s*([\d.eE+-]+)\s*,?\s*descriptor:\s*\"?([0-9a-fA-F\s.]+?)\"?\s*\}",
+        re.S)
+    nodes: dict[int, tuple[int, float, np.ndarray]] = {}
+    children: dict[int, list[int]] = {}
+    for m in field_re.finditer(nodes_block):
+        nid_s, pid_s, w, desc = m.groups()
+        desc = desc.strip()
+        b = (bytes(int(float(x)) for x in desc.split()) if " " in desc
+             else bytes.fromhex(desc))
+        nid, pid = int(nid_s), int(pid_s)
+        nodes[nid] = (pid, float(w), np.frombuffer(b, np.uint8))
+        children.setdefault(pid, []).append(nid)
 
-    # depth-first: compute each node's level and its path index
     centroids = [np.zeros((k ** (l + 1), 32), np.uint8) for l in range(L)]
     node_valid = [np.zeros((k ** (l + 1),), bool) for l in range(L)]
-    slot = {0: 0}  # nodeId -> flat index at its level (root=0 virtual)
-    level = {0: -1}
-    child_count: dict[int, int] = {}
     word_weights = np.zeros(k ** L, np.float32)
-    for nid in sorted(nodes):
-        pid, w, desc = nodes[nid]
-        if pid not in slot:
-            continue  # orphan
-        lvl = level[pid] + 1
+
+    from collections import deque
+
+    # BFS from the virtual root (id 0, not present in the nodes block)
+    queue = deque([(0, -1, 0)])  # (nodeId, level, flat slot at that level)
+    n_placed = n_dropped = 0
+    while queue:
+        pid, plvl, pslot = queue.popleft()
+        lvl = plvl + 1
+        kids = sorted(children.get(pid, ()))
         if lvl >= L:
+            n_dropped += len(kids)
             continue
-        c = child_count.get(pid, 0)
-        if c >= k:
-            continue
-        child_count[pid] = c + 1
-        idx = slot[pid] * k + c
-        slot[nid] = idx
-        level[nid] = lvl
-        d = np.zeros(32, np.uint8)
-        d[: min(32, len(desc))] = desc[:32]
-        centroids[lvl][idx] = d
-        node_valid[lvl][idx] = True
-        if lvl == L - 1 and nid in word_of_node:
-            word_weights[idx] = w
+        for c, nid in enumerate(kids):
+            if c >= k:  # malformed: more than k children
+                n_dropped += 1
+                continue
+            idx = pslot * k + c
+            _, w, desc = nodes[nid]
+            d = np.zeros(32, np.uint8)
+            d[: min(32, len(desc))] = desc[:32]
+            centroids[lvl][idx] = d
+            node_valid[lvl][idx] = True
+            n_placed += 1
+            if nid in children:  # internal node: recurse
+                queue.append((nid, lvl, idx))
+            else:  # leaf = word (possibly above the bottom level)
+                leaf = idx
+                for l2 in range(lvl + 1, L):  # pass-through chain
+                    leaf = leaf * k
+                    centroids[l2][leaf] = d
+                    node_valid[l2][leaf] = True
+                word_weights[leaf] = w
+    if n_dropped:
+        import sys
+
+        print(f"load_dbow2_yml: dropped {n_dropped} malformed nodes "
+              f"(placed {n_placed})", file=sys.stderr)
     return Vocabulary(
         k=k,
         depth=L,
