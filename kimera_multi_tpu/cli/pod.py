@@ -1,0 +1,280 @@
+"""One DCN pod: a separate PROCESS owning a subset of robots.
+
+Role of one machine in the reference's deployed topology — a robot
+workstation running kimera_distributed + dpgo_ros and talking to the
+others over the mesh network (reference README.md:129,139,153-154;
+examples/1014-example.yaml:50-97 runs one such process per robot). The
+intra-pod compute is the usual TPU path; everything BETWEEN pods crosses
+a real process boundary over dist/dcn.py (native TCP wire format).
+
+Protocol per run (bulk-synchronous, matching the reference's phases):
+
+  round 0  VLC exchange     each pod broadcasts its robots' keyframe
+                            frames (descriptors/bearings/landmarks) —
+                            the BoW-vector + VLC-frame publishing tier
+                            (kimera_vio_jackal.launch:41-43)
+  round 1  edge exchange    each pod detects fleet-wide but VERIFIES only
+                            its own robots' queries, then broadcasts its
+                            odometry + committed loop edges
+                            (request_pose_graph / loop-closure traffic)
+  rounds 2..2+N  dpgo       per-round: local bucketed block-Newton deltas
+                            for owned robots, DCN all-gather of the delta
+                            blocks, replicated chord-exact global step +
+                            periodic GNC reweighting — dpgo_ros's UPDATE
+                            rounds with pose traffic over the wire
+                            (images/kimera-multi.drawio:2325-2355)
+  final    hash barrier     pods exchange a digest of the rounded
+                            solution and assert bit-identical consensus,
+                            then write their own robots' TUM logs + APE.
+
+Launch (2 pods x 2 robots):
+  python -m kimera_multi_tpu.cli.pod --rank 0 --pods 2 --robots 4 ... &
+  python -m kimera_multi_tpu.cli.pod --rank 1 --pods 2 --robots 4 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(rank, msg):
+    print(f"[pod {rank}] {msg}", file=sys.stderr, flush=True)
+
+
+def owned_robots(rank: int, pods: int, robots: int) -> list[int]:
+    return [r for r in range(robots) if r % pods == rank]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="kimera_multi_tpu DCN pod")
+    p.add_argument("--rank", type=int, required=True)
+    p.add_argument("--pods", type=int, required=True)
+    p.add_argument("--robots", type=int, default=4)
+    p.add_argument("--steps", type=int, default=40)
+    p.add_argument("--features", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--port-base", type=int, default=47600)
+    p.add_argument("--rounds", type=int, default=30)
+    p.add_argument("--log-dir", default="/tmp/kmt_pod_logs")
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core import lie, rng as rngmod, stiefel
+    from ..core.containers import EDGE_SHARED_LC, concat_edges
+    from ..dist import dcn
+    from ..eval import ape as ape_mod
+    from ..frontend import batched, dlc, vocab as vocab_mod
+    from ..io import logs, sim_world
+    from ..solve import gnc, pcm, pgo, rbcd
+
+    t_start = time.time()
+    rank, pods = args.rank, args.pods
+    own = owned_robots(rank, pods, args.robots)
+    log(rank, f"owns robots {own} of {args.robots}; "
+              f"connecting fabric on ports {args.port_base}+")
+    fabric = dcn.DcnFabric(rank, pods, args.port_base)
+
+    # Each pod SENSES only its own robots; the rest of the fleet's
+    # keyframes arrive over the wire.
+    world = sim_world.make_world(
+        n_robots=args.robots, n_steps=args.steps,
+        features_per_kf=args.features, seed=args.seed)
+    R, T, K = args.robots, args.steps, args.features
+
+    desc = np.zeros((R, T, K, 32), np.uint8)
+    bear = np.zeros((R, T, K, 3), np.float32)
+    lm = np.zeros((R, T, K, 3), np.float32)
+    ovalid = np.zeros((R, T, K), bool)
+    for r in own:
+        desc[r] = world.descriptors[r]
+        bear[r] = world.bearings_local[r]
+        lm[r] = world.landmarks_local[r]
+        ovalid[r] = world.obs_valid[r]
+
+    # ---- round 0: VLC frame exchange ---------------------------------
+    for r in own:
+        for t in range(T):
+            fabric.send_vlc(r, t, desc[r, t], bear[r, t], lm[r, t],
+                            ovalid[r, t])
+    fabric.end_batch(0)
+    got = fabric.collect(0, max_feats=K)
+    for f in got["vlc"]:
+        r, t = f["robot"], f["frame"]
+        n = f["n"]
+        desc[r, t, :n] = f["descriptors"]
+        bear[r, t, :n] = f["bearings"]
+        lm[r, t, :n] = f["landmarks"]
+        ovalid[r, t, :n] = f["valid"]
+    sent0, recv0 = fabric.bytes_counters()
+    log(rank, f"VLC exchange done: {len(got['vlc'])} frames received "
+              f"({recv0/1e6:.2f} MB in, {sent0/1e6:.2f} MB out)")
+
+    # ---- front-end: detect fleet-wide, verify own queries only --------
+    corpus = desc[ovalid].reshape(-1, 32)
+    sub = corpus[:: max(1, len(corpus) // 4000)]
+    voc = vocab_mod.build_vocabulary(sub, k=8, depth=3, seed=args.seed)
+    cfg = dlc.FrontendConfig(base_seed=args.seed)
+    fe = batched.BatchedFrontend(R, T, voc, cfg)
+    stats = fe.process_all(desc, bear, lm, ovalid, query_robots=own)
+    log(rank, f"front-end: {stats['n_candidates']} own-query candidates, "
+              f"{len(fe.loops)} committed loops")
+
+    # ---- round 1: edge exchange ---------------------------------------
+    local_edges = dlc.build_pose_graph_from_loops(
+        fe.loops, world.R_odo[own], world.t_odo[own], cfg)
+    # build_pose_graph_from_loops indexes odometry rows 0..len(own)-1;
+    # remap those rows back to global robot ids before they hit the wire
+    from ..core.containers import EDGE_ODOMETRY
+
+    sr = np.asarray(local_edges.src_robot).copy()
+    dr = np.asarray(local_edges.dst_robot).copy()
+    is_odo = np.asarray(local_edges.etype) == EDGE_ODOMETRY
+    sr[is_odo] = np.asarray(own, np.int32)[sr[is_odo]]
+    dr[is_odo] = np.asarray(own, np.int32)[dr[is_odo]]
+    local_edges = local_edges.replace(src_robot=jnp.asarray(sr),
+                                      dst_robot=jnp.asarray(dr))
+    fabric.send_edges(local_edges)
+    fabric.end_batch(1)
+    got = fabric.collect(1, max_edges=int(local_edges.capacity) * pods * 2)
+    # Edges arrive as one packet per edge (the wire format frames each
+    # edge; TCP preserves per-connection order). Deterministic merge:
+    # group by sender pod (recoverable from the src robot — a pod only
+    # originates edges whose query robot it owns), concat by rank.
+    by_pod: dict[int, list] = {i: [] for i in range(pods)}
+    by_pod[rank].append(local_edges)
+    for b in got["edges"]:
+        srs = np.asarray(b.src_robot)[np.asarray(b.valid)]
+        if len(srs):
+            by_pod[int(srs[0]) % pods].append(b)
+    edges = concat_edges([b for i in sorted(by_pod) for b in by_pod[i]])
+    n_edges = int(np.asarray(edges.valid).sum())
+    log(rank, f"edge exchange done: {n_edges} edges in the shared graph")
+
+    # ---- distributed PGO over DCN --------------------------------------
+    ppr = args.steps
+    params0 = pgo.init_from_odometry(edges, R, ppr)
+    params_w, consensus, _ok = pcm.robot_frame_init(edges, params0, R, ppr)
+    shared = edges.valid & (edges.etype == EDGE_SHARED_LC)
+    w0 = jnp.where(shared & ~consensus, 0.0, jnp.ones(edges.capacity))
+    ylift = stiefel.random_lifting_matrix(
+        rngmod.derive(rngmod.base_key(args.seed), rngmod.Stream.LIFTING),
+        5, 3)
+    Y = np.asarray(rbcd.lift_params(params_w, ylift, R, ppr))
+    rcfg = rbcd.RbcdConfig(inner_iters=1)
+    buckets = rbcd.bucket_edges(edges, R)
+    own_ids = jnp.asarray(own, jnp.int32)
+
+    barc2 = gnc.barc2_from_quantile(0.9, dof=6)
+    sq0 = rbcd.lifted_edge_sq_errors(
+        jnp.asarray(Y).reshape(-1, Y.shape[2], Y.shape[3]), edges, ppr)
+    gstate = gnc.gnc_init(sq0, edges.etype, edges.valid, barc2)
+    gstate = gstate.replace(weights=w0)
+
+    @jax.jit
+    def owned_deltas(Yf, weights):
+        def one(i):
+            return rbcd.block_direction_bucketed(
+                Yf[i], Yf, i, rbcd.bucket_slice(buckets, i), weights, rcfg)
+
+        return jax.vmap(one)(own_ids)
+
+    @jax.jit
+    def global_step(Yf, deltas_all, weights):
+        Y_new = rbcd._global_step(Yf, deltas_all, edges, weights, ppr, rcfg)
+        cost = rbcd.lifted_cost(
+            Y_new.reshape(-1, Y_new.shape[2], Y_new.shape[3]), edges,
+            weights, ppr)
+        return Y_new, cost
+
+    @jax.jit
+    def gnc_round(Yf, g):
+        sq = rbcd.lifted_edge_sq_errors(
+            Yf.reshape(-1, Yf.shape[2], Yf.shape[3]), edges, ppr)
+        return gnc.gnc_update_weights(g, sq, edges.etype, edges.valid,
+                                      mu_factor=1.4)
+
+    cost = float("nan")
+    for i in range(args.rounds):
+        dl = np.asarray(owned_deltas(jnp.asarray(Y), gstate.weights))
+        deltas_all = fabric.allgather_tensor(
+            tag=100 + i, rnd=2 + i, local=dl,
+            pod_of_part=lambda r: r % pods, n_parts=R)
+        Yj, cost = global_step(jnp.asarray(Y), jnp.asarray(deltas_all),
+                               gstate.weights)
+        Y = np.asarray(Yj)
+        if (i + 1) % 2 == 0 and i + 1 >= 8:
+            gstate = gnc_round(jnp.asarray(Y), gstate)
+    sent1, recv1 = fabric.bytes_counters()
+    log(rank, f"dpgo: {args.rounds} rounds, final cost {float(cost):.4f}, "
+              f"DCN traffic {(recv1-recv0)/1e6:.2f} MB in / "
+              f"{(sent1-sent0)/1e6:.2f} MB out")
+
+    # ---- round + consensus check + logs --------------------------------
+    R_all, t_all = stiefel.round_solution(
+        jnp.asarray(Y).reshape(-1, Y.shape[2], Y.shape[3]), 3)
+    Rg, tg = lie.se3_inverse(R_all[0], t_all[0])
+    n_all = R_all.shape[0]
+    R_all, t_all = lie.se3_compose(
+        jnp.broadcast_to(Rg, (n_all, 3, 3)), jnp.broadcast_to(tg, (n_all, 3)),
+        R_all, t_all)
+    params = pgo.gauss_newton(
+        pgo.PgoParams(R=R_all, t=t_all), edges, gstate.weights, ppr,
+        gn_iters=5, cg_iters=40)
+
+    # consensus barrier: every pod must hold the bit-identical solution
+    import zlib
+
+    digest = zlib.crc32(np.asarray(params.t, np.float32).tobytes())
+    fabric.send_ctrl(dcn.CTRL_HASH, 2 + args.rounds, value=digest & 0x7FFFFFFF)
+    fabric.end_batch(2 + args.rounds)
+    got = fabric.collect(2 + args.rounds)
+    peer_digests = {c.sender: c.value for c in got["ctrl"]
+                    if c.kind == dcn.CTRL_HASH}
+    agree = all(v == (digest & 0x7FFFFFFF) for v in peer_digests.values())
+    log(rank, f"consensus: digest {digest & 0x7FFFFFFF:#x}, "
+              f"{len(peer_digests)} peers, agree={agree}")
+
+    # per-owned-robot logs + APE (each pod writes only its robots, like
+    # each reference machine logging its own namespace)
+    os.makedirs(args.log_dir, exist_ok=True)
+    Rnp, tnp = np.asarray(params.R), np.asarray(params.t)
+    ape_vals = {}
+    for r in own:
+        sl = slice(r * ppr, r * ppr + T)
+        rdir = os.path.join(args.log_dir, f"robot{r}", "distributed")
+        os.makedirs(rdir, exist_ok=True)
+        q = np.asarray(lie.rot_to_quat(jnp.asarray(Rnp[sl])))
+        logs.write_tum(
+            os.path.join(rdir, f"kimera_distributed_poses_tum_{r}.tum"),
+            world.timestamps[r], tnp[sl], q)
+        res = ape_mod.ape(
+            jnp.asarray(tnp[sl]), jnp.asarray(Rnp[sl]),
+            jnp.asarray(world.t_gt[r]), jnp.asarray(world.R_gt[r]))
+        ape_vals[r] = float(res.rmse_trans)
+        log(rank, f"robot {r}: APE trans RMSE = {ape_vals[r]:.4f} m")
+
+    sent, recv = fabric.bytes_counters()
+    print(json.dumps({
+        "pod": rank, "pods": pods, "robots": own,
+        "agree": bool(agree), "digest": digest & 0x7FFFFFFF,
+        "final_cost": float(cost),
+        "ape_rmse": ape_vals,
+        "dcn_bytes_sent": int(sent), "dcn_bytes_received": int(recv),
+        "wall_s": round(time.time() - t_start, 1)}), flush=True)
+    fabric.close()
+    return 0 if agree else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

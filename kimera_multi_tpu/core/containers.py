@@ -71,6 +71,43 @@ class PoseGraphEdges:
         )
 
 
+def concat_edges(batches, capacity: int | None = None) -> PoseGraphEdges:
+    """Merge edge batches (e.g. per-pod sets exchanged over DCN) into one
+    capacity-padded graph. Only valid rows of each batch are kept; padding
+    rows carry EDGE_INVALID. Deterministic: batches are concatenated in the
+    order given, so callers exchanging over DCN must order by sender rank."""
+    import numpy as np
+
+    cols = {f: [] for f in ("src_robot", "src_pose", "dst_robot",
+                            "dst_pose", "R", "t", "kappa", "tau", "etype")}
+    for b in batches:
+        keep = np.asarray(b.valid)
+        for f in cols:
+            cols[f].append(np.asarray(getattr(b, f))[keep])
+    cat = {f: np.concatenate(v) if v else np.zeros((0,)) for f, v in
+           cols.items()}
+    E = len(cat["etype"])
+    cap = capacity or int(2 ** np.ceil(np.log2(max(E, 8))))
+    if E > cap:
+        raise ValueError(f"{E} edges exceed capacity {cap}")
+    out = PoseGraphEdges.empty(cap)
+    pad = cap - E
+    import jax.numpy as jnp
+
+    def fill(name, empty_val):
+        v = cat[name]
+        tail = np.broadcast_to(empty_val, (pad,) + v.shape[1:])
+        return jnp.asarray(np.concatenate([v, tail]).astype(
+            np.asarray(getattr(out, name)).dtype))
+
+    return PoseGraphEdges(
+        src_robot=fill("src_robot", 0), src_pose=fill("src_pose", 0),
+        dst_robot=fill("dst_robot", 0), dst_pose=fill("dst_pose", 0),
+        R=fill("R", np.eye(3, dtype=np.float32)), t=fill("t", 0.0),
+        kappa=fill("kappa", 0.0), tau=fill("tau", 0.0),
+        etype=fill("etype", 0))
+
+
 @flax.struct.dataclass
 class BowVector:
     """Padded sparse Bag-of-Words vector (reference: DBoW2 BowVector,

@@ -1,0 +1,219 @@
+"""DCN tier: inter-pod exchange over the native TCP transport.
+
+Role of the reference deployment's mesh-network layer — the remote topic
+manager that carries BoW vectors / VLC frames / pose graphs / dpgo pose
+traffic BETWEEN machines (reference README.md:129,139,153-154; dpgo_ros
+UPDATE traffic, images/kimera-multi.drawio:2325-2355). Intra-pod exchange
+rides ICI collectives (dist/rounds.py); this module is the boundary that
+crosses processes/hosts.
+
+Transport: native/kmt_native.cpp `Peer` — TCP (reliable, ordered),
+bounded receive queues (backpressure = flow control), chunked sends, and
+per-peer byte counters (mTotalBytesReceived equivalent). Wire format is
+the same framed-packet layout used for on-disk keyframe logs:
+
+  type 1 EDGE    (C++ codec)  pose-graph edges
+  type 2 VLC     (C++ codec)  keyframe descriptor/bearing/landmark frames
+  type 3 CTRL    (Python)     little-endian i32[4]: kind, round, sender, value
+  type 4 TENSOR  (Python)     i32 tag, i32 sender, u8 dtype, u8 ndim,
+                              i32 dims[ndim], raw bytes
+
+The exchange discipline is bulk-synchronous: a pod broadcasts a batch of
+packets, terminates it with an END_OF_BATCH control carrying its rank, and
+`collect` blocks until every other pod's terminator arrives — the
+deterministic analogue of the reference's per-round request/response
+state machine.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import NamedTuple
+
+import numpy as np
+
+from ..io import native
+
+TYPE_EDGE = 1
+TYPE_VLC = 2
+TYPE_CTRL = 3
+TYPE_TENSOR = 4
+
+CTRL_END_OF_BATCH = 1
+CTRL_HASH = 2
+
+_HDR = struct.Struct("<IBI")  # magic, type, payload_len
+_MAGIC = 0x314B4D54
+
+_DTYPES = {0: np.float32, 1: np.int32, 2: np.uint8, 3: np.float64}
+_DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+class Ctrl(NamedTuple):
+    kind: int
+    round: int
+    sender: int
+    value: int
+
+
+class Tensor(NamedTuple):
+    tag: int
+    sender: int
+    array: np.ndarray
+
+
+def _payload(buf: native.Buffer) -> bytes:
+    raw = buf.tobytes()
+    magic, ptype, n = _HDR.unpack_from(raw, 0)
+    assert magic == _MAGIC, hex(magic)
+    return raw[_HDR.size:_HDR.size + n]
+
+
+def pack_ctrl(kind: int, rnd: int, sender: int, value: int = 0) -> bytes:
+    return struct.pack("<4i", kind, rnd, sender, value)
+
+
+def unpack_ctrl(payload: bytes) -> Ctrl:
+    return Ctrl(*struct.unpack("<4i", payload))
+
+
+def pack_tensor(tag: int, sender: int, arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr)
+    code = _DTYPE_CODES[arr.dtype]
+    head = struct.pack("<iiBB", tag, sender, code, arr.ndim)
+    dims = struct.pack(f"<{arr.ndim}i", *arr.shape)
+    return head + dims + arr.tobytes()
+
+
+def unpack_tensor(payload: bytes) -> Tensor:
+    tag, sender, code, ndim = struct.unpack_from("<iiBB", payload, 0)
+    off = 10
+    dims = struct.unpack_from(f"<{ndim}i", payload, off)
+    off += 4 * ndim
+    arr = np.frombuffer(payload, _DTYPES[code], offset=off).reshape(dims)
+    return Tensor(tag, sender, arr.copy())
+
+
+class DcnFabric:
+    """Full mesh of pods on loopback TCP (host configurable for real DCN).
+
+    Rank r binds port_base + r and dials every lower rank; each pair of
+    pods therefore shares exactly one connection. Packet routing carries
+    sender identity in the payloads, so broadcasts need no per-connection
+    bookkeeping.
+    """
+
+    def __init__(self, rank: int, n_pods: int, port_base: int,
+                 host: str = "127.0.0.1", queue_capacity: int = 1024,
+                 setup_timeout_s: float = 30.0):
+        import time
+
+        self.rank = rank
+        self.n_pods = n_pods
+        self.peer = native.Peer(port=port_base + rank,
+                                queue_capacity=queue_capacity)
+        for j in range(rank):
+            self.peer.connect(host, port_base + j,
+                              retries=int(setup_timeout_s / 0.1))
+        t0 = time.time()
+        while self.peer.n_conns() < n_pods - 1:
+            if time.time() - t0 > setup_timeout_s:
+                raise TimeoutError(
+                    f"pod {rank}: only {self.peer.n_conns()} of "
+                    f"{n_pods - 1} peers connected")
+            time.sleep(0.02)
+
+    # ---- send side -----------------------------------------------------
+    def send_edges(self, edges) -> int:
+        buf = native.Buffer()
+        buf.write_edges(edges)
+        return self.peer.send(buf)
+
+    def send_vlc(self, robot: int, frame: int, desc, bearings, landmarks,
+                 valid, has_depth=None) -> int:
+        buf = native.Buffer()
+        buf.write_vlc(robot, frame, desc, bearings, landmarks, valid,
+                      has_depth)
+        return self.peer.send(buf)
+
+    def send_tensor(self, tag: int, arr: np.ndarray) -> int:
+        buf = native.Buffer()
+        buf.write_raw(TYPE_TENSOR, pack_tensor(tag, self.rank, arr))
+        return self.peer.send(buf)
+
+    def send_ctrl(self, kind: int, rnd: int, value: int = 0) -> int:
+        buf = native.Buffer()
+        buf.write_raw(TYPE_CTRL, pack_ctrl(kind, rnd, self.rank, value))
+        return self.peer.send(buf)
+
+    def end_batch(self, rnd: int, count: int = 0) -> None:
+        self.send_ctrl(CTRL_END_OF_BATCH, rnd, count)
+
+    # ---- receive side ----------------------------------------------------
+    def collect(self, rnd: int, max_edges: int = 4096,
+                max_feats: int = 1024, timeout_s: float = 120.0):
+        """Receive until END_OF_BATCH(rnd) arrived from every other pod.
+
+        Returns dict with keys 'edges' (list of PoseGraphEdges), 'vlc'
+        (list of frame dicts), 'tensors' (list of Tensor), 'ctrl' (list of
+        non-terminator Ctrl). Terminators for earlier rounds are tolerated
+        (stragglers); later rounds are a protocol error.
+        """
+        out = {"edges": [], "vlc": [], "tensors": [], "ctrl": []}
+        seen_eob: set[int] = set()
+        want = self.n_pods - 1
+        while len(seen_eob) < want:
+            got = self.peer.recv(timeout_ms=int(timeout_s * 1000))
+            if got is None:
+                raise TimeoutError(
+                    f"pod {self.rank} round {rnd}: {len(seen_eob)}/{want} "
+                    f"terminators after {timeout_s}s")
+            ptype, buf = got
+            if ptype == TYPE_EDGE:
+                out["edges"].append(buf.read_edges(max_edges))
+            elif ptype == TYPE_VLC:
+                out["vlc"].append(buf.read_vlc(max_feats))
+            elif ptype == TYPE_TENSOR:
+                out["tensors"].append(unpack_tensor(_payload(buf)))
+            elif ptype == TYPE_CTRL:
+                c = unpack_ctrl(_payload(buf))
+                if c.kind == CTRL_END_OF_BATCH:
+                    if c.round == rnd:
+                        seen_eob.add(c.sender)
+                    elif c.round > rnd:
+                        raise RuntimeError(
+                            f"pod {self.rank}: terminator from the future "
+                            f"(round {c.round} > {rnd})")
+                else:
+                    out["ctrl"].append(c)
+        return out
+
+    # ---- composite ops ---------------------------------------------------
+    def allgather_tensor(self, tag: int, rnd: int, local: np.ndarray,
+                         pod_of_part, n_parts: int,
+                         timeout_s: float = 120.0) -> np.ndarray:
+        """Bulk-synchronous all-gather of a partitioned tensor over DCN.
+
+        `local` holds this pod's parts stacked on axis 0; `pod_of_part(i)`
+        maps global part index -> owning pod rank. Returns the full
+        (n_parts, ...) array. The DCN analogue of the intra-pod
+        `lax.all_gather` separator exchange (dist/rounds.py)."""
+        self.send_tensor(tag, local)
+        self.end_batch(rnd)
+        got = self.collect(rnd, timeout_s=timeout_s)
+        parts_by_pod = {t.sender: t.array for t in got["tensors"]
+                        if t.tag == tag}
+        parts_by_pod[self.rank] = local
+        full = np.zeros((n_parts,) + local.shape[1:], local.dtype)
+        cursor = {r: 0 for r in range(self.n_pods)}
+        for i in range(n_parts):
+            r = pod_of_part(i)
+            full[i] = parts_by_pod[r][cursor[r]]
+            cursor[r] += 1
+        return full
+
+    def bytes_counters(self) -> tuple[int, int]:
+        return self.peer.bytes_sent(), self.peer.bytes_received()
+
+    def close(self):
+        self.peer.close()

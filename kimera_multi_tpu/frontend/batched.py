@@ -252,12 +252,20 @@ class BatchedFrontend:
         self._bow_all = bow_all
 
     # ------------------------------------------------------------------
-    def process_all(self, descriptors, bearings, landmarks, obs_valid):
+    def process_all(self, descriptors, bearings, landmarks, obs_valid,
+                    query_robots=None):
         """Run the full front-end over a recorded/simulated run.
 
         descriptors (R, T, K, 32) uint8; bearings/landmarks (R, T, K, 3);
         obs_valid (R, T, K). Populates self.loops / self.lcd_attempts in
-        the sequential path's iteration order; returns timing stats."""
+        the sequential path's iteration order; returns timing stats.
+
+        query_robots: optional iterable of robot ids — verify only
+        candidates whose QUERY robot is in the set. This is how a DCN pod
+        partitions verification work: each pod verifies its own robots'
+        detections against the fleet-wide database (the reference's
+        per-robot verification thread does the same), and the other pods'
+        committed loops arrive as edges over the wire (cli/pod.py)."""
         cfg = self.cfg
         t0 = time.perf_counter()
         desc = jnp.asarray(descriptors)
@@ -278,6 +286,9 @@ class BatchedFrontend:
         # --- the single host round-trip: compact detected candidates in
         # the sequential path's (step, robot, target, candidate) order
         kk, rr, tt, cc = np.nonzero(det)
+        if query_robots is not None:
+            keep = np.isin(rr, np.asarray(sorted(query_robots)))
+            kk, rr, tt, cc = kk[keep], rr[keep], tt[keep], cc[keep]
         order = np.lexsort((cc, tt, rr, kk))
         kk, rr, tt, cc = kk[order], rr[order], tt[order], cc[order]
         mm = match[kk, rr, tt, cc]

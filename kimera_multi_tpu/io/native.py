@@ -58,6 +58,29 @@ def _load():
     lib.kmt_replayer_close.argtypes = [ctypes.c_void_p]
     lib.kmt_replayer_pop.restype = ctypes.c_int32
     lib.kmt_replayer_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.kmt_write_raw.argtypes = [ctypes.c_void_p, ctypes.c_uint8,
+                                  ctypes.POINTER(ctypes.c_uint8),
+                                  ctypes.c_uint32]
+    lib.kmt_peer_new.restype = ctypes.c_void_p
+    lib.kmt_peer_new.argtypes = [ctypes.c_int32, ctypes.c_int32]
+    lib.kmt_peer_close.argtypes = [ctypes.c_void_p]
+    lib.kmt_peer_port.restype = ctypes.c_int32
+    lib.kmt_peer_port.argtypes = [ctypes.c_void_p]
+    lib.kmt_peer_connect.restype = ctypes.c_int32
+    lib.kmt_peer_connect.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                     ctypes.c_int32]
+    lib.kmt_peer_n_conns.restype = ctypes.c_int32
+    lib.kmt_peer_n_conns.argtypes = [ctypes.c_void_p]
+    lib.kmt_peer_send.restype = ctypes.c_int64
+    lib.kmt_peer_send.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                  ctypes.c_void_p]
+    lib.kmt_peer_recv.restype = ctypes.c_int32
+    lib.kmt_peer_recv.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_int32]
+    lib.kmt_peer_bytes_sent.restype = ctypes.c_int64
+    lib.kmt_peer_bytes_sent.argtypes = [ctypes.c_void_p]
+    lib.kmt_peer_bytes_received.restype = ctypes.c_int64
+    lib.kmt_peer_bytes_received.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -111,6 +134,13 @@ class Buffer:
         rc = self._lib.kmt_buffer_write_file(self._h, path.encode())
         if rc != 0:
             raise IOError(f"failed writing {path}")
+
+    def write_raw(self, ptype: int, payload: bytes) -> None:
+        """Frame an arbitrary payload (types 3 = control, 4 = tensor are
+        defined by dist/dcn.py)."""
+        arr = np.frombuffer(payload, np.uint8)
+        self._lib.kmt_write_raw(self._h, ptype, _ptr(arr, ctypes.c_uint8),
+                                len(payload))
 
     # ---- edges -------------------------------------------------------
     def write_edges(self, edges) -> None:
@@ -192,6 +222,73 @@ class Buffer:
                     descriptors=desc[:n], bearings=be[:n], landmarks=lm[:n],
                     valid=va[:n].astype(bool),
                     has_depth=hd[:n].astype(bool))
+
+
+class Peer:
+    """TCP transport endpoint for inter-pod (DCN) packet exchange.
+
+    Wraps the native peer: loopback listener + outgoing connections, a
+    background receive thread per connection feeding a bounded packet
+    queue (backpressure = flow control), chunked sends, and byte counters
+    (dpgo_ros mTotalBytesReceived equivalent)."""
+
+    def __init__(self, port: int = 0, queue_capacity: int = 512):
+        self._lib = _load()
+        h = self._lib.kmt_peer_new(port, queue_capacity)
+        if not h:
+            raise OSError(f"failed to bind DCN peer on port {port}")
+        self._h = ctypes.c_void_p(h)
+
+    @property
+    def port(self) -> int:
+        return self._lib.kmt_peer_port(self._h)
+
+    def connect(self, host: str, port: int,
+                retries: int = 100, delay_s: float = 0.1) -> int:
+        """Connect to a remote peer, retrying while it comes up."""
+        import time
+
+        for i in range(retries):
+            cid = self._lib.kmt_peer_connect(self._h, host.encode(), port)
+            if cid >= 0:
+                return cid
+            time.sleep(delay_s)
+        raise ConnectionError(f"cannot reach {host}:{port}")
+
+    def n_conns(self) -> int:
+        return self._lib.kmt_peer_n_conns(self._h)
+
+    def send(self, buf: Buffer, conn: int = -1) -> int:
+        """Send the buffer's framed packets (conn -1 = every connection)."""
+        n = self._lib.kmt_peer_send(self._h, conn, buf._h)
+        if n < 0:
+            raise ConnectionError("DCN send failed")
+        return n
+
+    def recv(self, timeout_ms: int = -1):
+        """Next packet as (type, Buffer); None on timeout; raises once all
+        connections have closed and the queue is drained."""
+        buf = Buffer()
+        rc = self._lib.kmt_peer_recv(self._h, buf._h, timeout_ms)
+        if rc == 0:
+            return None
+        if rc < 0:
+            raise ConnectionError("all DCN connections closed")
+        return rc, buf
+
+    def bytes_sent(self) -> int:
+        return self._lib.kmt_peer_bytes_sent(self._h)
+
+    def bytes_received(self) -> int:
+        return self._lib.kmt_peer_bytes_received(self._h)
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.kmt_peer_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
 
 
 class Replayer:

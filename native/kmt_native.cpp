@@ -12,7 +12,14 @@
 // Exposed as a plain C ABI consumed from Python via ctypes
 // (kimera_multi_tpu/io/native.py). No Python.h dependency.
 
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -180,6 +187,238 @@ class Replayer {
   std::atomic<bool> error_;
 };
 
+// ---------------------------------------------------------------------
+// DCN peer: TCP transport between pods.
+// ---------------------------------------------------------------------
+// Role of the reference deployment's inter-robot mesh-network layer (the
+// "remote topic manager" carrying BoW vectors, VLC frames, pose graphs
+// and dpgo status between machines — reference README.md:129,139,153-154).
+// Packets reuse the wire format above; TCP gives reliability/ordering
+// (the reference leans on the same from its transport), the bounded recv
+// queue gives end-to-end backpressure (the kernel stops ACKing once the
+// consumer falls behind — the chunked-gather flow-control analogue), and
+// atomic byte counters match dpgo_ros's mTotalBytesReceived accounting.
+
+class Peer {
+ public:
+  Peer(int32_t port, size_t queue_capacity)
+      : capacity_(queue_capacity) {
+    listen_fd_ = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (listen_fd_ < 0) return;
+    int one = 1;
+    ::setsockopt(listen_fd_, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+    addr.sin_port = htons(static_cast<uint16_t>(port));
+    if (::bind(listen_fd_, reinterpret_cast<sockaddr*>(&addr),
+               sizeof(addr)) != 0 ||
+        ::listen(listen_fd_, 16) != 0) {
+      ::close(listen_fd_);
+      listen_fd_ = -1;
+      return;
+    }
+    socklen_t alen = sizeof(addr);
+    ::getsockname(listen_fd_, reinterpret_cast<sockaddr*>(&addr), &alen);
+    port_ = ntohs(addr.sin_port);
+    accept_thread_ = std::thread([this] { this->accept_loop(); });
+  }
+
+  ~Peer() { close(); }
+
+  void close() {
+    bool expected = false;
+    if (!stop_.compare_exchange_strong(expected, true)) return;
+    if (listen_fd_ >= 0) ::shutdown(listen_fd_, SHUT_RDWR);
+    if (accept_thread_.joinable()) accept_thread_.join();
+    {
+      std::lock_guard<std::mutex> lk(conn_mu_);
+      for (int fd : conns_)
+        if (fd >= 0) ::shutdown(fd, SHUT_RDWR);
+    }
+    cv_pop_.notify_all();
+    cv_push_.notify_all();
+    for (auto& t : recv_threads_)
+      if (t.joinable()) t.join();
+    if (listen_fd_ >= 0) ::close(listen_fd_);
+    std::lock_guard<std::mutex> lk(conn_mu_);
+    for (int fd : conns_)
+      if (fd >= 0) ::close(fd);
+    conns_.clear();
+  }
+
+  int32_t port() const { return port_; }
+  bool ok() const { return listen_fd_ >= 0; }
+
+  int32_t connect_to(const char* host, int32_t port) {
+    int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (fd < 0) return -1;
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons(static_cast<uint16_t>(port));
+    if (::inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
+      ::close(fd);
+      return -1;
+    }
+    if (::connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) !=
+        0) {
+      ::close(fd);
+      return -1;
+    }
+    int one = 1;
+    ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    return add_conn(fd);
+  }
+
+  int32_t n_conns() {
+    std::lock_guard<std::mutex> lk(conn_mu_);
+    int32_t n = 0;
+    for (int fd : conns_)
+      if (fd >= 0) ++n;
+    return n;
+  }
+
+  // Sends raw framed bytes on one connection (conn >= 0) or every live
+  // connection (conn == -1). Writes in 256 KiB chunks (the chunked-gather
+  // discipline: one oversized message never monopolizes the send path).
+  int64_t send(int32_t conn, const uint8_t* data, uint64_t n) {
+    std::vector<int> targets;
+    {
+      std::lock_guard<std::mutex> lk(conn_mu_);
+      if (conn >= 0) {
+        if (conn >= static_cast<int32_t>(conns_.size()) ||
+            conns_[conn] < 0)
+          return -1;
+        targets.push_back(conns_[conn]);
+      } else {
+        for (int fd : conns_)
+          if (fd >= 0) targets.push_back(fd);
+      }
+    }
+    int64_t total = 0;
+    constexpr uint64_t kChunk = 256 * 1024;
+    for (int fd : targets) {
+      std::lock_guard<std::mutex> lk(send_mu_);
+      uint64_t off = 0;
+      while (off < n) {
+        uint64_t len = n - off < kChunk ? n - off : kChunk;
+        ssize_t w = ::send(fd, data + off, len, MSG_NOSIGNAL);
+        if (w <= 0) return -1;
+        off += static_cast<uint64_t>(w);
+        bytes_sent_ += w;
+        total += w;
+      }
+    }
+    return total;
+  }
+
+  // Pops the next packet (framed: header+payload) into out. Returns the
+  // packet type, 0 on timeout, -1 when all connections are closed and the
+  // queue is drained.
+  int32_t recv(std::vector<uint8_t>* out, int32_t timeout_ms) {
+    std::unique_lock<std::mutex> lk(mu_);
+    // "dead" only once at least one connection existed and all are gone —
+    // a freshly bound peer waiting for inbound connects is just idle
+    auto dead = [this] { return had_readers_ && live_readers_ == 0; };
+    auto ready = [this, dead] { return !q_.empty() || stop_ || dead(); };
+    if (timeout_ms < 0) {
+      cv_pop_.wait(lk, ready);
+    } else if (!cv_pop_.wait_for(lk, std::chrono::milliseconds(timeout_ms),
+                                 ready)) {
+      return 0;
+    }
+    if (q_.empty()) return (stop_ || dead()) ? -1 : 0;
+    Packet p = std::move(q_.front());
+    q_.pop();
+    cv_push_.notify_one();
+    lk.unlock();
+    Buffer framed;
+    Buffer payload;
+    payload.data = std::move(p.payload);
+    write_packet(&framed, p.type, payload);
+    *out = std::move(framed.data);
+    return p.type;
+  }
+
+  int64_t bytes_sent() const { return bytes_sent_.load(); }
+  int64_t bytes_received() const { return bytes_received_.load(); }
+
+ private:
+  int32_t add_conn(int fd) {
+    std::lock_guard<std::mutex> lk(conn_mu_);
+    conns_.push_back(fd);
+    int32_t id = static_cast<int32_t>(conns_.size()) - 1;
+    {
+      std::lock_guard<std::mutex> qlk(mu_);
+      ++live_readers_;
+      had_readers_ = true;
+    }
+    recv_threads_.emplace_back([this, fd] { this->recv_loop(fd); });
+    return id;
+  }
+
+  void accept_loop() {
+    while (!stop_) {
+      int fd = ::accept(listen_fd_, nullptr, nullptr);
+      if (fd < 0) break;
+      int one = 1;
+      ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+      add_conn(fd);
+    }
+  }
+
+  bool read_exact(int fd, void* p, size_t n) {
+    uint8_t* dst = static_cast<uint8_t*>(p);
+    size_t got = 0;
+    while (got < n) {
+      ssize_t r = ::recv(fd, dst + got, n - got, 0);
+      if (r <= 0) return false;
+      got += static_cast<size_t>(r);
+      bytes_received_ += r;
+    }
+    return true;
+  }
+
+  void recv_loop(int fd) {
+    while (!stop_) {
+      uint32_t magic = 0, len = 0;
+      uint8_t type = 0;
+      if (!read_exact(fd, &magic, 4) || magic != kMagic ||
+          !read_exact(fd, &type, 1) || !read_exact(fd, &len, 4))
+        break;
+      Packet p;
+      p.type = type;
+      p.payload.resize(len);
+      if (len && !read_exact(fd, p.payload.data(), len)) break;
+      std::unique_lock<std::mutex> lk(mu_);
+      // backpressure: stop draining the socket (and thus stop the TCP
+      // window) until the consumer catches up
+      cv_push_.wait(lk, [this] { return q_.size() < capacity_ || stop_; });
+      if (stop_) break;
+      q_.push(std::move(p));
+      cv_pop_.notify_one();
+    }
+    std::lock_guard<std::mutex> lk(mu_);
+    --live_readers_;
+    cv_pop_.notify_all();
+  }
+
+  int listen_fd_ = -1;
+  int32_t port_ = -1;
+  size_t capacity_;
+  std::atomic<bool> stop_{false};
+  std::atomic<int64_t> bytes_sent_{0};
+  std::atomic<int64_t> bytes_received_{0};
+  std::mutex conn_mu_, send_mu_, mu_;
+  std::vector<int> conns_;
+  std::vector<std::thread> recv_threads_;
+  std::thread accept_thread_;
+  std::queue<Packet> q_;
+  int live_readers_ = 0;  // guarded by mu_
+  bool had_readers_ = false;  // guarded by mu_
+  std::condition_variable cv_pop_, cv_push_;
+};
+
 }  // namespace
 
 // ---------------------------------------------------------------------
@@ -327,6 +566,16 @@ int32_t kmt_read_vlc(void* b, int32_t max_feats, int32_t* robot,
   }
 }
 
+// Frames an arbitrary payload (types beyond edge/VLC are defined by the
+// Python schema layer: 3 = control/barrier, 4 = tensor block).
+void kmt_write_raw(void* b, uint8_t type, const uint8_t* payload,
+                   uint32_t n) {
+  Buffer* out = static_cast<Buffer*>(b);
+  Buffer p;
+  p.data.assign(payload, payload + n);
+  write_packet(out, type, p);
+}
+
 int32_t kmt_buffer_write_file(void* b, const char* path) {
   Buffer* buf = static_cast<Buffer*>(b);
   FILE* f = std::fopen(path, "wb");
@@ -334,6 +583,55 @@ int32_t kmt_buffer_write_file(void* b, const char* path) {
   size_t n = std::fwrite(buf->data.data(), 1, buf->data.size(), f);
   std::fclose(f);
   return n == buf->data.size() ? 0 : -1;
+}
+
+// ---- DCN peer --------------------------------------------------------
+
+// Binds a loopback TCP listener (port 0 = ephemeral). queue_capacity
+// bounds the receive queue in packets (backpressure past that).
+void* kmt_peer_new(int32_t port, int32_t queue_capacity) {
+  Peer* p = new Peer(port, static_cast<size_t>(queue_capacity));
+  if (!p->ok()) {
+    delete p;
+    return nullptr;
+  }
+  return p;
+}
+void kmt_peer_close(void* p) { delete static_cast<Peer*>(p); }
+int32_t kmt_peer_port(void* p) { return static_cast<Peer*>(p)->port(); }
+int32_t kmt_peer_connect(void* p, const char* host, int32_t port) {
+  return static_cast<Peer*>(p)->connect_to(host, port);
+}
+int32_t kmt_peer_n_conns(void* p) {
+  return static_cast<Peer*>(p)->n_conns();
+}
+
+// Sends the buffer's framed packets on connection `conn` (-1 = all).
+// Returns total bytes written or -1.
+int64_t kmt_peer_send(void* p, int32_t conn, void* buffer) {
+  Buffer* b = static_cast<Buffer*>(buffer);
+  return static_cast<Peer*>(p)->send(conn, b->data.data(), b->data.size());
+}
+
+// Pops the next packet into buffer_out (full frame, ready for the
+// kmt_read_* decoders). Returns the packet type, 0 on timeout, -1 when
+// every connection has closed and the queue is drained.
+int32_t kmt_peer_recv(void* p, void* buffer_out, int32_t timeout_ms) {
+  Buffer* b = static_cast<Buffer*>(buffer_out);
+  std::vector<uint8_t> framed;
+  int32_t t = static_cast<Peer*>(p)->recv(&framed, timeout_ms);
+  if (t > 0) {
+    b->data = std::move(framed);
+    b->read_pos = 0;
+  }
+  return t;
+}
+
+int64_t kmt_peer_bytes_sent(void* p) {
+  return static_cast<Peer*>(p)->bytes_sent();
+}
+int64_t kmt_peer_bytes_received(void* p) {
+  return static_cast<Peer*>(p)->bytes_received();
 }
 
 // ---- replayer --------------------------------------------------------
