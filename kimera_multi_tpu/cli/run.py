@@ -54,6 +54,11 @@ def main(argv=None):
     p.add_argument("--save-obs", default=None,
                    help="directory to dump per-robot observation streams "
                         "(obs_robot<k>.npz) for cli/replay.py acceptance")
+    p.add_argument("--lc-images", type=float, default=None, metavar="DIST_M",
+                   help="vio-sim: write side-by-side image evidence for "
+                        "loop closures whose GT keyframe distance exceeds "
+                        "this many meters (extract_lc_images.py equivalent; "
+                        "reference threshold 30)")
     p.add_argument("--submap-size", type=int, default=0,
                    help="coarsen the back-end graph to submaps of up to "
                         "this many keyframes (reference: the dpgo back-end "
@@ -417,6 +422,28 @@ def run_vio_sim(args):
         t_gt=seq.t_gt[gt_idx],
         R_gt=seq.R_gt[gt_idx],
         R_odo=R_odo, t_odo=t_odo)
+
+    # ---- loop-closure image evidence (extract_lc_images equivalent) ---
+    if getattr(args, "lc_images", None) is not None:
+        from ..eval import lc_forensics
+
+        rows = []
+        for lc in fe.loops:
+            g1 = int(gt_idx[lc.robot_a, lc.frame_a])
+            g2 = int(gt_idx[lc.robot_b, lc.frame_b])
+            rows.append(dict(
+                robot1=lc.robot_a, pose1=lc.frame_a,
+                robot2=lc.robot_b, pose2=lc.frame_b,
+                gt_distance=float(np.linalg.norm(
+                    seq.t_gt[g1] - seq.t_gt[g2])),
+                mono_inliers=lc.mono_inliers,
+                stereo_inliers=lc.stereo_inliers))
+        paths = lc_forensics.extract_lc_images(
+            rows, lambda r, f: seq.left[int(gt_idx[r, f])],
+            os.path.join(args.log_dir, "lc_images"),
+            threshold=args.lc_images)
+        print(f"[run] lc image evidence: {len(paths)} annotated pairs "
+              f"-> {args.log_dir}/lc_images", file=sys.stderr)
 
     args_logged = args
     args_logged.steps = T  # write_logs slices by T

@@ -30,6 +30,7 @@ class LcForensics(NamedTuple):
     mono_inliers: np.ndarray
     stereo_inliers: np.ndarray
     suspicious: np.ndarray  # (N,) bool — GT distance > 30 m
+    rows: tuple = ()  # per-loop dicts (ids + metrics) for evidence tools
 
 
 def analyze_run(
@@ -124,7 +125,67 @@ def analyze_run(
         mono_inliers=a["mono_inliers"],
         stereo_inliers=a["stereo_inliers"],
         suspicious=a["gt_distance"] > 30.0,
+        rows=tuple(rows),
     )
+
+
+def extract_lc_images(rows, image_of, out_dir: str,
+                      threshold: float = 30.0) -> list[str]:
+    """Image evidence for suspicious loop closures.
+
+    Role of evaluation/extract_lc_images.py: for every loop whose GT
+    keyframe distance exceeds `threshold` (reference default 30 m,
+    extract_lc_images.py:52-54), merge the two keyframe images side by
+    side, overlay the metadata (pair ids, GT distance, inlier counts —
+    the reference's putText overlay), and save one PNG per loop. The
+    reference pulls frames out of rosbags with a play/filter dance; here
+    `image_of(robot, frame) -> (H, W) uint8|float` abstracts the frame
+    store (rendered sequences in vio-sim, NPZ image logs for recordings).
+
+    rows: iterables of dicts with robot1/pose1/robot2/pose2/gt_distance/
+    mono_inliers/stereo_inliers (LcForensics.rows). Returns written paths.
+    """
+    import json
+
+    from ..io import png
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    manifest = []
+    for i, row in enumerate(rows):
+        d = float(row["gt_distance"])
+        if d <= threshold:
+            continue
+        r1, p1 = int(row["robot1"]), int(row["pose1"])
+        r2, p2 = int(row["robot2"]), int(row["pose2"])
+        im1 = image_of(r1, p1)
+        im2 = image_of(r2, p2)
+        if im1 is None or im2 is None:
+            continue
+
+        def to_u8(im):
+            im = np.asarray(im)
+            if im.dtype != np.uint8:
+                lo, hi = float(im.min()), float(im.max())
+                im = ((im - lo) / max(hi - lo, 1e-9) * 255).astype(np.uint8)
+            return im
+
+        cap = (f"r{r1}f{p1}-r{r2}f{p2} d:{d:.1f}m "
+               f"mono:{int(row['mono_inliers'])} "
+               f"stereo:{int(row['stereo_inliers'])}")
+        img = png.annotate_pair(to_u8(im1), to_u8(im2), cap)
+        name = (f"lc_{i:04d}_r{r1}f{p1}_r{r2}f{p2}_"
+                f"{d:.1f}m.png")
+        path = os.path.join(out_dir, name)
+        png.write_png(path, img)
+        written.append(path)
+        manifest.append({**{k: (float(v) if isinstance(v, (np.floating,))
+                                else int(v) if isinstance(v, (np.integer,))
+                                else v) for k, v in row.items()},
+                         "image": name})
+    with open(os.path.join(out_dir, "lc_images.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return written
 
 
 def inlier_histogram(res: LcForensics):
