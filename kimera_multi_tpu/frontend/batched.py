@@ -222,12 +222,14 @@ class BatchedFrontend:
     device dispatches instead of O(robots x steps x targets) host calls."""
 
     def __init__(self, n_robots: int, n_steps: int, vocab,
-                 cfg: FrontendConfig, n_candidates: int = 1):
+                 cfg: FrontendConfig, n_candidates: int = 1,
+                 verify_chunk: int = 1024):
         self.cfg = cfg
         self.n_robots = n_robots
         self.n_steps = n_steps
         self.vocab = vocab
         self.n_candidates = n_candidates
+        self.verify_chunk = verify_chunk
         self.loops: list[VerifiedLC] = []
         self.lcd_attempts: list[VerifiedLC] = []
         self.bow_overflow = 0
@@ -300,20 +302,43 @@ class BatchedFrontend:
             self.stats.update(t_verify=0.0, verifications_per_s=0.0)
             return self.stats
 
-        pad = max(1, int(2 ** np.ceil(np.log2(B)))) - B
-        qr = jnp.asarray(np.concatenate([rr, np.zeros(pad, rr.dtype)]))
-        qf = jnp.asarray(np.concatenate([kk, np.zeros(pad, kk.dtype)]))
-        tr = jnp.asarray(np.concatenate([tt, np.zeros(pad, tt.dtype)]))
-        tm = jnp.asarray(np.concatenate([mm, np.zeros(pad, mm.dtype)]))
-
+        # Verify in FIXED-SIZE chunks (capacity discipline, SURVEY §7.4):
+        # bounds the live (chunk, K) match/score intermediates regardless
+        # of how many candidates a run produces, and keeps ONE compiled
+        # verify program for every run length (the old next-pow2 padding
+        # recompiled per distinct candidate count). The observation
+        # stores stay device-resident across chunks — at the campus
+        # envelope (6 robots x 6000 kf x 300 feats) they are ~3.3 GB of
+        # uint8 descriptors + ~2.6 GB f32 bearings/landmarks, well inside
+        # one chip's HBM; the per-chunk working set is ~chunk x K
+        # gathered rows, a few hundred MB at chunk=1024.
+        chunk = min(self.verify_chunk, max(
+            64, int(2 ** np.ceil(np.log2(B)))))
+        n_chunks = (B + chunk - 1) // chunk
         t1 = time.perf_counter()
-        res = self._verify(rngmod.base_key(cfg.base_seed),
-                           desc, ov, bear, lm, qr, qf, tr, tm)
-        res = jax.tree_util.tree_map(np.asarray, res)
+        res_parts = []
+        for ci in range(n_chunks):
+            lo = ci * chunk
+            sl = slice(lo, min(lo + chunk, B))
+            pad = chunk - (sl.stop - sl.start)
+
+            def padded(a):
+                return jnp.asarray(np.concatenate(
+                    [a[sl], np.zeros(pad, a.dtype)]))
+
+            part = self._verify(rngmod.base_key(cfg.base_seed),
+                                desc, ov, bear, lm,
+                                padded(rr), padded(kk), padded(tt),
+                                padded(mm))
+            res_parts.append(jax.tree_util.tree_map(
+                lambda a: np.asarray(a)[: sl.stop - sl.start], part))
+        res = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs), *res_parts)
         t_verify = time.perf_counter() - t1
         self.stats.update(
-            t_verify=t_verify,
-            verifications_per_s=(B + pad) / max(t_verify, 1e-9))
+            t_verify=t_verify, verify_chunks=n_chunks,
+            verify_chunk_size=chunk,
+            verifications_per_s=(n_chunks * chunk) / max(t_verify, 1e-9))
 
         for i in range(B):
             mono_ok = bool(res["mono_ok"][i])
