@@ -54,6 +54,12 @@ def main(argv=None):
     p.add_argument("--save-obs", default=None,
                    help="directory to dump per-robot observation streams "
                         "(obs_robot<k>.npz) for cli/replay.py acceptance")
+    p.add_argument("--chain-refine", action="store_true",
+                   help="sharded mode: after rounding + GN polish, re-solve "
+                        "ALL translations exactly with the sequence-parallel "
+                        "chain solver (pose chains sharded over the device "
+                        "mesh, ppermute halo exchange — SURVEY §2.3 row 8 "
+                        "in the production path)")
     p.add_argument("--lc-images", type=float, default=None, metavar="DIST_M",
                    help="vio-sim: write side-by-side image evidence for "
                         "loop closures whose GT keyframe distance exceeds "
@@ -257,6 +263,11 @@ def run_sim(args):
         params = pgo.gauss_newton(
             pgo.PgoParams(R=R_all, t=t_all), edges, weights, ppr,
             gn_iters=5, cg_iters=40)
+        if getattr(args, "chain_refine", False):
+            t_new = _chain_refine(params, edges, args.robots, ppr, weights)
+            params = pgo.PgoParams(R=params.R, t=t_new)
+            print("[run] chain-refine: translations re-solved "
+                  "sequence-parallel over the device mesh", file=sys.stderr)
     else:
         params, gstate = robust.robust_pgo(
             params0, edges, ppr, gnc_outer_iters=args.gnc_rounds)
@@ -458,6 +469,60 @@ def run_vio_sim(args):
     return dict(ape=results, n_keyframes=Rn * T,
                 n_loops=len(fe.loops), n_inter_loops=n_inter,
                 frontend_stats=stats)
+
+
+def _chain_refine(params, edges, n_robots, ppr, weights, cg_iters=150):
+    """Exact global translation recovery as ONE sequence-parallel solve.
+
+    Given the final rotations, the translation subproblem of the PGO cost
+    is linear; the fleet's pose chains are concatenated into a single
+    chain sharded over all devices (dist/chain.py), with zero-weight
+    chain links at robot boundaries and every (GNC-weighted) loop closure
+    in the sparse coupling table. Per-CG-iteration communication is the
+    two boundary poses + the LC endpoint psum — O(1) + O(E_lc), not O(N)
+    (SURVEY §2.3 row 8 / §5 long-context, now in the production path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core.containers import EDGE_ODOMETRY
+    from ..dist import chain as chain_mod, mesh as mesh_mod
+
+    D = len(jax.devices())
+    N = n_robots * ppr
+    Np = int(np.ceil(N / D) * D)
+    src, dst = (np.asarray(x) for x in edges.global_ids(ppr))
+    et = np.asarray(edges.etype)
+    val = np.asarray(edges.valid)
+    w_all = np.asarray(weights) * np.asarray(edges.tau)
+    R_f = np.asarray(params.R)
+    t_meas = np.asarray(edges.t)
+
+    d_chain = np.zeros((Np, 3), np.float32)
+    wc = np.zeros(Np, np.float32)
+    is_odo = val & (et == EDGE_ODOMETRY) & (dst == src + 1)
+    oe = np.nonzero(is_odo)[0]
+    d_chain[src[oe]] = np.einsum("eij,ej->ei", R_f[src[oe]], t_meas[oe])
+    wc[src[oe]] = w_all[oe]
+
+    lc = np.nonzero(val & ~is_odo & (w_all > 1e-9))[0]
+    cap = max(8, int(2 ** np.ceil(np.log2(max(len(lc), 1)))))
+    lc_src = np.full(cap, -1, np.int32)
+    lc_dst = np.full(cap, -1, np.int32)
+    lc_d = np.zeros((cap, 3), np.float32)
+    lc_w = np.zeros(cap, np.float32)
+    lc_src[: len(lc)] = src[lc]
+    lc_dst[: len(lc)] = dst[lc]
+    lc_d[: len(lc)] = np.einsum("eij,ej->ei", R_f[src[lc]], t_meas[lc])
+    lc_w[: len(lc)] = w_all[lc]
+
+    m = mesh_mod.robot_mesh(1, intra=D)
+    solve = chain_mod.make_chain_translation_solver(
+        m, Np, cap, cg_iters=cg_iters)
+    t = solve(jnp.asarray(d_chain), jnp.asarray(lc_src),
+              jnp.asarray(lc_dst), jnp.asarray(lc_d), jnp.asarray(lc_w),
+              w_chain=jnp.asarray(wc))
+    return jnp.asarray(np.asarray(t)[:N])
 
 
 def _dump_round_trajectories(args, world, state, dump_idx, expand_fn=None,

@@ -35,13 +35,20 @@ def make_chain_translation_solver(
 ):
     """Builds a sharded solver for
 
-        min_t  sum_chain ||t_{i+1} - t_i - d_i||^2
+        min_t  sum_chain wc_i ||t_{i+1} - t_i - d_i||^2
              + sum_lc w_e ||t_{dst_e} - t_{src_e} - d_e||^2
              + anchor ||t_0||^2
 
     d_chain: (n_poses-1, 3) chain deltas (padded to n_poses rows);
     lc_src/lc_dst: (lc_capacity,) int32 (-1 padding); lc_d: (lc_capacity, 3);
     lc_w: (lc_capacity,). Returns t (n_poses, 3), chain-sharded.
+
+    Per-chain-edge weights wc (row i = weight of edge i -> i+1, last row
+    ignored) let one solve cover a CONCATENATED fleet chain: robot
+    boundaries get wc = 0 (no odometry between robots), inter-robot
+    coupling rides the LC table — this is how the production back-end
+    refines all translations in one sequence-parallel pass
+    (cli/run.py --chain-refine).
     """
     S = mesh.shape[SHARD_AXIS]
     assert n_poses % S == 0
@@ -50,11 +57,11 @@ def make_chain_translation_solver(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(), P(), P(), P()),
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(), P(), P(), P()),
         out_specs=P(SHARD_AXIS),
         check_vma=False,
     )
-    def _solve(d_chain_local, lc_src, lc_dst, lc_d, lc_w):
+    def _solve(d_chain_local, wc_local, lc_src, lc_dst, lc_d, lc_w):
         s = jax.lax.axis_index(SHARD_AXIS)
         base = s * n_local
         gidx = base + jnp.arange(n_local)  # global pose ids of this shard
@@ -93,20 +100,26 @@ def make_chain_translation_solver(
             out = jnp.zeros((n_local, 3))
             return out.at[local].add(jnp.where(own[:, None], vals, 0.0))
 
+        # weight of the chain edge LEFT of pose i (edge i-1 -> i) needs
+        # the neighbor's last weight, exchanged once outside the CG loop
+        wc_left = jax.lax.ppermute(
+            wc_local[-1], SHARD_AXIS, [(i, (i + 1) % S) for i in range(S)])
+        wcm1 = jnp.concatenate([wc_left[None], wc_local[:-1]], axis=0)
+        has_left = gidx > 0
+        has_right = gidx < n_poses - 1
+        wl = jnp.where(has_left, wcm1, 0.0)  # weight of edge into pose i
+        wr = jnp.where(has_right, wc_local, 0.0)  # weight of edge out
+
         def matvec(v_local):
-            """Normal-equation matvec: chain Laplacian + LC terms + anchor."""
+            """Normal-equation matvec: weighted chain Laplacian + LC terms
+            + anchor."""
             left, right = halo(v_local)
             vm1 = jnp.concatenate([left[None], v_local[:-1]], axis=0)
             vp1 = jnp.concatenate([v_local[1:], right[None]], axis=0)
-            # chain residual r_i = v_{i+1} - v_i contributes to normal eqs:
-            # (A^T A v)_i = (2 v_i - v_{i-1} - v_{i+1}) with boundary fixes
-            has_left = gidx > 0
-            has_right = gidx < n_poses - 1
-            deg = has_left.astype(v_local.dtype) + has_right.astype(
-                v_local.dtype)  # bool + bool would be logical OR
-            out = deg[:, None] * v_local \
-                - jnp.where(has_left[:, None], vm1, 0.0) \
-                - jnp.where(has_right[:, None], vp1, 0.0)
+            # chain residual r_i = wc_i (v_{i+1} - v_i) contributes:
+            # (A^T A v)_i = wc_{i-1}(v_i - v_{i-1}) + wc_i(v_i - v_{i+1})
+            out = (wl + wr)[:, None] * v_local \
+                - wl[:, None] * vm1 - wr[:, None] * vp1
             # LC terms: r_e = v_dst - v_src; (A^T A v) adds w_e (v_dst-v_src)
             # to dst and the negative to src
             src_v, dst_v = lc_values(v_local)
@@ -117,14 +130,11 @@ def make_chain_translation_solver(
                                   anchor_weight * v_local, 0.0)
             return out
 
-        # right-hand side b = A^T d: chain r_i = t_{i+1} - t_i - d_i gives
-        # b_j = d_{j-1} - d_j (boundary terms masked)
+        # right-hand side b = A^T d: weighted chain r_i gives
+        # b_j = wc_{j-1} d_{j-1} - wc_j d_j (boundary terms masked)
         dm1 = jnp.concatenate(
             [halo(d_chain_local)[0][None], d_chain_local[:-1]], axis=0)
-        has_left = gidx > 0
-        has_right = gidx < n_poses - 1
-        b = jnp.where(has_left[:, None], dm1, 0.0) \
-            - jnp.where(has_right[:, None], d_chain_local, 0.0)
+        b = wl[:, None] * dm1 - wr[:, None] * d_chain_local
         # LC rhs
         lcd = lc_d * w[:, None]
         b = b + scatter_own(lc_dst, lcd) - scatter_own(lc_src, lcd)
@@ -147,28 +157,35 @@ def make_chain_translation_solver(
         return x
 
     @jax.jit
-    def solve(d_chain, lc_src, lc_dst, lc_d, lc_w):
+    def solve(d_chain, lc_src, lc_dst, lc_d, lc_w, w_chain=None):
         """d_chain: (n_poses, 3) with row i = measured t_{i+1} - t_i
-        (last row ignored/zero)."""
-        d_sharded = jax.device_put(
-            d_chain, NamedSharding(mesh, P(SHARD_AXIS)))
-        return _solve(d_sharded, lc_src, lc_dst, lc_d, lc_w)
+        (last row ignored/zero). w_chain: (n_poses,) chain-edge weights
+        (None = all ones)."""
+        if w_chain is None:
+            w_chain = jnp.ones((n_poses,), d_chain.dtype)
+        sh = NamedSharding(mesh, P(SHARD_AXIS))
+        return _solve(jax.device_put(d_chain, sh),
+                      jax.device_put(w_chain, sh),
+                      lc_src, lc_dst, lc_d, lc_w)
 
     return solve
 
 
 def chain_translation_reference(n_poses, d_chain, lc_src, lc_dst, lc_d,
-                                lc_w, anchor_weight=1e3):
+                                lc_w, anchor_weight=1e3, w_chain=None):
     """Single-device dense reference solution (for tests)."""
     import numpy as np
 
+    if w_chain is None:
+        w_chain = np.ones(n_poses)
     A_rows = []
     b_rows = []
     for i in range(n_poses - 1):
+        sw = np.sqrt(w_chain[i])
         row = np.zeros(n_poses)
-        row[i + 1], row[i] = 1, -1
+        row[i + 1], row[i] = sw, -sw
         A_rows.append(row)
-        b_rows.append(np.asarray(d_chain[i]))
+        b_rows.append(np.asarray(d_chain[i]) * sw)
     for e in range(len(lc_src)):
         if lc_src[e] < 0:
             continue

@@ -199,6 +199,46 @@ def test_chain_sequence_parallel_solve():
     assert np.abs(t_sharded - t_gt).max() < 0.1
 
 
+def test_chain_weighted_fleet_concat():
+    """The production --chain-refine shape: TWO robots' chains
+    concatenated into one, zero-weight chain link at the robot boundary,
+    inter-robot coupling only through the LC table. Sharded solve ==
+    dense weighted lstsq, and each robot's chain is internally rigid."""
+    from kimera_multi_tpu.dist import chain as chain_mod
+
+    rng = np.random.default_rng(23)
+    Nr = 16
+    N = 2 * Nr
+    t_gt = np.cumsum(rng.normal(0, 0.5, (N, 3)), axis=0).astype(np.float32)
+    t_gt -= t_gt[0]
+    d_chain = np.zeros((N, 3), np.float32)
+    d_chain[:-1] = t_gt[1:] - t_gt[:-1]
+    wc = np.full(N, 2.5, np.float32)
+    wc[Nr - 1] = 0.0  # no odometry across the robot boundary
+    d_chain[Nr - 1] = 999.0  # must be ignored (zero weight)
+    C = 8
+    lc_src = np.full(C, -1, np.int32)
+    lc_dst = np.zeros(C, np.int32)
+    lc_d = np.zeros((C, 3), np.float32)
+    lc_w = np.zeros(C, np.float32)
+    for e in range(4):  # inter-robot loop closures tie the two chains
+        i = int(rng.integers(0, Nr))
+        j = int(rng.integers(Nr, N))
+        lc_src[e], lc_dst[e] = i, j
+        lc_d[e] = t_gt[j] - t_gt[i]
+        lc_w[e] = 4.0
+
+    m = mesh_mod.robot_mesh(1, intra=4)
+    solver = chain_mod.make_chain_translation_solver(m, N, C, cg_iters=300)
+    t_sharded = np.asarray(solver(
+        jnp.asarray(d_chain), jnp.asarray(lc_src), jnp.asarray(lc_dst),
+        jnp.asarray(lc_d), jnp.asarray(lc_w), w_chain=jnp.asarray(wc)))
+    t_ref = chain_mod.chain_translation_reference(
+        N, d_chain, lc_src, lc_dst, lc_d, lc_w, w_chain=wc)
+    assert np.abs(t_sharded - t_ref).max() < 1e-3
+    assert np.abs(t_sharded - t_gt).max() < 0.05  # exact up to anchor gauge
+
+
 def test_measured_comm_bytes_from_hlo():
     """Per-round received bytes measured from the compiled HLO collectives
     (reference counter mTotalBytesReceived, drawio:2355): must scale with
