@@ -54,6 +54,10 @@ def main(argv=None):
     p.add_argument("--save-obs", default=None,
                    help="directory to dump per-robot observation streams "
                         "(obs_robot<k>.npz) for cli/replay.py acceptance")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="sharded mode: write an XLA device profile of the "
+                        "optimization rounds to DIR (TensorBoard/xprof "
+                        "trace — SURVEY §5 tracing tier)")
     p.add_argument("--chain-refine", action="store_true",
                    help="sharded mode: after rounding + GN polish, re-solve "
                         "ALL translations exactly with the sequence-parallel "
@@ -229,6 +233,17 @@ def run_sim(args):
             comm_bytes = rounds.round_comm_bytes(Y0.shape, rcfg.inner_iters)
         dpgo_rows = []
         dump_idx = 0
+        profile_ctx = None
+        if getattr(args, "profile", None):
+            # run-time trace of the e2e optimization rounds (XLA device
+            # profile, viewable in TensorBoard / xprof — the tracing tier
+            # of SURVEY §5)
+            import jax.profiler as _prof
+
+            profile_ctx = _prof.trace(args.profile)
+            profile_ctx.__enter__()
+            print(f"[run] profiling rounds -> {args.profile}",
+                  file=sys.stderr)
         for i in range(args.gnc_rounds):
             t0 = time.time()
             state, cost = round_fn(state)
@@ -249,6 +264,13 @@ def run_sim(args):
                     from ..dist import checkpoint as ckpt_mod
 
                     ckpt_mod.save(args.checkpoint, state)
+        if profile_ctx is not None:
+            import jax
+
+            jax.block_until_ready(state.Y)
+            profile_ctx.__exit__(None, None, None)
+            print(f"[run] profile trace written to {args.profile}",
+                  file=sys.stderr)
         R_all, t_all = stiefel.round_solution(
             state.Y.reshape(-1, state.Y.shape[2], state.Y.shape[3]), 3)
         weights = state.gnc_state.weights
