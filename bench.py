@@ -85,13 +85,14 @@ def _log(msg: str) -> None:
 
 def emit(final: bool = False) -> None:
     """Print the JSON line (once) + sidecar. Called at the end and from the
-    signal handler."""
+    signal handler. A run killed before the primary metric exists still
+    ships whatever WAS measured (baseline, device), marked partial."""
     global _EMITTED
     if _EMITTED:
         return
-    if RESULT["value"] is None:
-        return  # nothing measured yet; let the caller decide
     _EMITTED = True
+    if RESULT["value"] is None:
+        RESULT["partial"] = True
     print(json.dumps(RESULT), flush=True)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -29,8 +29,15 @@ import time
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="kimera_multi_tpu runner")
-    p.add_argument("--mode", choices=["sim", "sim-sharded", "vio-sim"],
+    p.add_argument("--mode",
+                   choices=["sim", "sim-sharded", "vio-sim", "euroc"],
                    default="sim")
+    p.add_argument("--euroc-roots", nargs="+", default=None,
+                   help="euroc mode: one EuRoC session directory per robot "
+                        "(each containing mav0/) — recorded data in the "
+                        "standard ASL layout flows VIO -> distributed LCD "
+                        "-> PGO (BASELINE.json config 4: multi-session as "
+                        "pseudo-multi-robot)")
     p.add_argument("--robots", type=int, default=2)
     p.add_argument("--steps", type=int, default=60)
     p.add_argument("--features", type=int, default=96)
@@ -83,6 +90,8 @@ def main(argv=None):
 
     if args.mode == "vio-sim":
         return run_vio_sim(args)
+    if args.mode == "euroc":
+        return run_euroc(args)
     return run_sim(args)
 
 
@@ -493,6 +502,100 @@ def run_vio_sim(args):
                 frontend_stats=stats)
 
 
+def run_euroc(args):
+    """Recorded EuRoC sessions -> VIO -> distributed LCD -> robust PGO.
+
+    One session per robot (BASELINE.json config 4: EuRoC multi-session as
+    pseudo-multi-robot; role of the reference's per-robot rosbag replay,
+    examples/1014-example.yaml:50-97). Reads the standard ASL layout via
+    io/dataset.py, runs the full per-robot VIO (io/convert.py), feeds the
+    keyframe products into the batched distributed front-end, optimizes,
+    and evaluates APE against the sessions' ground truth when present.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core import lie
+    from ..frontend import batched as batched_mod, dlc, vocab as vocab_mod
+    from ..io import convert as convert_mod
+    from ..solve import pgo, robust
+
+    if not args.euroc_roots:
+        raise SystemExit("--mode euroc requires --euroc-roots")
+    t_start = time.time()
+    Rn = len(args.euroc_roots)
+    streams = []
+    for r, root in enumerate(args.euroc_roots):
+        obs, sess, (R_kf, t_kf) = convert_mod.euroc_to_observations(
+            root, max_frames=args.steps or None,
+            log=lambda m: print(f"[run] {m}", file=sys.stderr))
+        streams.append((obs, sess, R_kf, t_kf))
+        print(f"[run] robot {r}: {root} -> "
+              f"{obs.descriptors.shape[0]} keyframes", file=sys.stderr)
+
+    T = min(s[0].descriptors.shape[0] for s in streams)
+    K = streams[0][0].descriptors.shape[1]
+    desc = np.stack([s[0].descriptors[:T] for s in streams])
+    bear = np.stack([s[0].bearings[:T] for s in streams])
+    lm = np.stack([s[0].landmarks[:T] for s in streams])
+    val = np.stack([s[0].valid[:T] for s in streams])
+    ts_kf = np.stack([s[0].timestamps[:T] for s in streams])
+
+    corpus = desc[val].reshape(-1, 32)
+    sub = corpus[:: max(1, len(corpus) // 4000)]
+    voc = vocab_mod.build_vocabulary(sub, k=8, depth=3, seed=args.seed)
+    fcfg = dlc.FrontendConfig(base_seed=args.seed)
+    fe = batched_mod.BatchedFrontend(Rn, T, voc, fcfg)
+    print("[run] front-end (batched detect + verify) on EuRoC keyframes...",
+          file=sys.stderr)
+    fe.process_all(desc, bear, lm, val)
+    n_inter = sum(1 for l in fe.loops if l.robot_a != l.robot_b)
+    print(f"[run] committed loop closures: {len(fe.loops)} "
+          f"({n_inter} inter-robot)", file=sys.stderr)
+
+    R_odo = np.zeros((Rn, T - 1, 3, 3), np.float32)
+    t_odo = np.zeros((Rn, T - 1, 3), np.float32)
+    for r, (_, _, R_kf, t_kf) in enumerate(streams):
+        Ra, ta = R_kf[:T], t_kf[:T]
+        R_odo[r] = np.einsum("kji,kjl->kil", Ra[:-1], Ra[1:])
+        t_odo[r] = np.einsum("kji,kj->ki", Ra[:-1], ta[1:] - ta[:-1])
+
+    edges = fe.build_pose_graph(R_odo, t_odo)
+    params0 = pgo.init_from_odometry(edges, Rn, T)
+    print("[run] back-end optimization...", file=sys.stderr)
+    params, gstate = robust.robust_pgo(params0, edges, T,
+                                       gnc_outer_iters=args.gnc_rounds)
+
+    # GT at keyframe times, from the sessions' state_groundtruth files
+    R_gt = np.broadcast_to(np.eye(3, dtype=np.float32),
+                           (Rn, T, 3, 3)).copy()
+    t_gt = np.zeros((Rn, T, 3), np.float32)
+    have_gt = True
+    for r, (_, sess, _, _) in enumerate(streams):
+        if len(sess.gt_ts) == 0:
+            have_gt = False
+            continue
+        gi = np.clip(np.searchsorted(sess.gt_ts, ts_kf[r]), 0,
+                     len(sess.gt_ts) - 1)
+        t_gt[r] = sess.gt_t[gi]
+        R_gt[r] = np.asarray(lie.quat_to_rot(jnp.asarray(sess.gt_q[gi])))
+
+    world = _VioWorld(timestamps=ts_kf, t_gt=t_gt, R_gt=R_gt,
+                      R_odo=R_odo, t_odo=t_odo)
+    args.steps = T
+    args.robots = Rn
+    results = write_logs(args, world, fe, params, gstate.weights, [dict(
+        robot_id=0, instance=0, iteration=0, num_poses=Rn * T,
+        bytes_received=0, iteration_time_sec=0.0,
+        total_time_sec=time.time() - t_start, rel_change=0.0,
+        func_decrease=0.0, grad_norm=0.0, num_active_robots=Rn)])
+    if not have_gt:
+        print("[run] (no ground truth in some sessions; APE vs GT only "
+              "partially meaningful)", file=sys.stderr)
+    return dict(ape=results, n_keyframes=Rn * T, n_loops=len(fe.loops),
+                n_inter_loops=n_inter)
+
+
 def _chain_refine(params, edges, n_robots, ppr, weights, cg_iters=150):
     """Exact global translation recovery as ONE sequence-parallel solve.
 
@@ -541,9 +644,14 @@ def _chain_refine(params, edges, n_robots, ppr, weights, cg_iters=150):
     m = mesh_mod.robot_mesh(1, intra=D)
     solve = chain_mod.make_chain_translation_solver(
         m, Np, cap, cg_iters=cg_iters)
+    # warm start at the GN-polished translations: a robot disconnected
+    # from the anchor (every shared LC zero-weighted by GNC) then keeps
+    # its polished placement instead of collapsing to the min-norm one
+    x0 = np.zeros((Np, 3), np.float32)
+    x0[:N] = np.asarray(params.t)
     t = solve(jnp.asarray(d_chain), jnp.asarray(lc_src),
               jnp.asarray(lc_dst), jnp.asarray(lc_d), jnp.asarray(lc_w),
-              w_chain=jnp.asarray(wc))
+              w_chain=jnp.asarray(wc), x0=jnp.asarray(x0))
     return jnp.asarray(np.asarray(t)[:N])
 
 

@@ -57,11 +57,13 @@ def make_chain_translation_solver(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(), P(), P(), P()),
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(), P(), P(), P()),
         out_specs=P(SHARD_AXIS),
         check_vma=False,
     )
-    def _solve(d_chain_local, wc_local, lc_src, lc_dst, lc_d, lc_w):
+    def _solve(d_chain_local, wc_local, x0_local, lc_src, lc_dst, lc_d,
+               lc_w):
         s = jax.lax.axis_index(SHARD_AXIS)
         base = s * n_local
         gidx = base + jnp.arange(n_local)  # global pose ids of this shard
@@ -151,21 +153,27 @@ def make_chain_translation_solver(
             beta = rs2 / jnp.maximum(rs, 1e-20)
             return x, r, r + beta * p_, rs2
 
-        x0 = jnp.zeros((n_local, 3))
-        rs0 = jax.lax.psum(jnp.sum(b * b), SHARD_AXIS)
-        x, *_ = jax.lax.fori_loop(0, cg_iters, cg, (x0, b, b, rs0))
+        # warm start: CG never moves components whose residual is zero, so
+        # a block disconnected from the anchor (all its LCs zero-weighted)
+        # keeps its initial placement instead of collapsing to min-norm
+        r0 = b - matvec(x0_local)
+        rs0 = jax.lax.psum(jnp.sum(r0 * r0), SHARD_AXIS)
+        x, *_ = jax.lax.fori_loop(0, cg_iters, cg, (x0_local, r0, r0, rs0))
         return x
 
     @jax.jit
-    def solve(d_chain, lc_src, lc_dst, lc_d, lc_w, w_chain=None):
+    def solve(d_chain, lc_src, lc_dst, lc_d, lc_w, w_chain=None, x0=None):
         """d_chain: (n_poses, 3) with row i = measured t_{i+1} - t_i
         (last row ignored/zero). w_chain: (n_poses,) chain-edge weights
-        (None = all ones)."""
+        (None = all ones). x0: (n_poses, 3) warm start (None = zeros)."""
         if w_chain is None:
             w_chain = jnp.ones((n_poses,), d_chain.dtype)
+        if x0 is None:
+            x0 = jnp.zeros((n_poses, 3), d_chain.dtype)
         sh = NamedSharding(mesh, P(SHARD_AXIS))
         return _solve(jax.device_put(d_chain, sh),
                       jax.device_put(w_chain, sh),
+                      jax.device_put(x0, sh),
                       lc_src, lc_dst, lc_d, lc_w)
 
     return solve

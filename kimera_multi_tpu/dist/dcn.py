@@ -107,11 +107,15 @@ class DcnFabric:
                  host: str = "127.0.0.1", queue_capacity: int = 1024,
                  setup_timeout_s: float = 30.0):
         import time
+        from collections import deque
 
         self.rank = rank
         self.n_pods = n_pods
         self.peer = native.Peer(port=port_base + rank,
-                                queue_capacity=queue_capacity)
+                                queue_capacity=queue_capacity,
+                                loopback_only=(host in ("127.0.0.1",
+                                                        "localhost")))
+        self._pending: deque = deque()  # drained-but-unconsumed packets
         for j in range(rank):
             self.peer.connect(host, port_base + j,
                               retries=int(setup_timeout_s / 0.1))
@@ -123,25 +127,49 @@ class DcnFabric:
                     f"{n_pods - 1} peers connected")
             time.sleep(0.02)
 
+    def _pump(self) -> None:
+        """Drain everything already received into the pending store.
+
+        Called on every send: a bulk-synchronous phase has every pod
+        sending its whole batch before collecting, so without draining,
+        two pods whose batches exceed the bounded receive queue + TCP
+        buffers would both block in send() forever (the receiver's
+        recv_loop stops reading once its queue fills — that backpressure
+        is flow control between phases, but deadlock within one)."""
+        while True:
+            got = self.peer.recv(timeout_ms=0)
+            if got is None:
+                return
+            self._pending.append(got)
+
+    def _next_packet(self, timeout_ms: int):
+        if self._pending:
+            return self._pending.popleft()
+        return self.peer.recv(timeout_ms=timeout_ms)
+
     # ---- send side -----------------------------------------------------
     def send_edges(self, edges) -> int:
+        self._pump()
         buf = native.Buffer()
         buf.write_edges(edges)
         return self.peer.send(buf)
 
     def send_vlc(self, robot: int, frame: int, desc, bearings, landmarks,
                  valid, has_depth=None) -> int:
+        self._pump()
         buf = native.Buffer()
         buf.write_vlc(robot, frame, desc, bearings, landmarks, valid,
                       has_depth)
         return self.peer.send(buf)
 
     def send_tensor(self, tag: int, arr: np.ndarray) -> int:
+        self._pump()
         buf = native.Buffer()
         buf.write_raw(TYPE_TENSOR, pack_tensor(tag, self.rank, arr))
         return self.peer.send(buf)
 
     def send_ctrl(self, kind: int, rnd: int, value: int = 0) -> int:
+        self._pump()
         buf = native.Buffer()
         buf.write_raw(TYPE_CTRL, pack_ctrl(kind, rnd, self.rank, value))
         return self.peer.send(buf)
@@ -163,7 +191,7 @@ class DcnFabric:
         seen_eob: set[int] = set()
         want = self.n_pods - 1
         while len(seen_eob) < want:
-            got = self.peer.recv(timeout_ms=int(timeout_s * 1000))
+            got = self._next_packet(timeout_ms=int(timeout_s * 1000))
             if got is None:
                 raise TimeoutError(
                     f"pod {self.rank} round {rnd}: {len(seen_eob)}/{want} "

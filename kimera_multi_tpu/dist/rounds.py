@@ -176,7 +176,7 @@ _DTYPE_BYTES = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
                 "pred": 1}
 _COLLECTIVE_RE = __import__("re").compile(
     r"= ([^=]*?) (all-gather|all-reduce|reduce-scatter|collective-permute"
-    r"|all-to-all)\(")
+    r"|all-to-all)(-start)?\(")
 _SHAPE_RE = __import__("re").compile(r"(f64|f32|f16|bf16|s64|s32|s16|s8"
                                      r"|u64|u32|u16|u8|pred)\[([\d,]*)\]")
 _GROUPS_LIST_RE = __import__("re").compile(r"replica_groups=\{\{([\d,]+)\}")
@@ -207,14 +207,19 @@ def measured_round_comm_bytes(round_fn, state, inner_iters: int) -> int:
         m = _COLLECTIVE_RE.search(line)
         if not m or "/cond/" in line:
             continue
-        result_part, op = m.groups()
-        nbytes = 0
+        result_part, op, is_start = m.groups()
+        # TPU's async-collective pass rewrites ops to op-start/op-done
+        # pairs whose -start result is a (operand, output) tuple: summing
+        # every shape would double-count, so take the largest shape (the
+        # gathered/reduced output). Sync forms keep the plain sum.
+        sizes = []
         for dt, dims in _SHAPE_RE.findall(result_part):
             sz = _DTYPE_BYTES[dt]
             for d in dims.split(","):
                 if d:
                     sz *= int(d)
-            nbytes += sz
+            sizes.append(sz)
+        nbytes = (max(sizes) if is_start else sum(sizes)) if sizes else 0
         g = _GROUPS_LIST_RE.search(line)
         if g:
             R = len(g.group(1).split(","))

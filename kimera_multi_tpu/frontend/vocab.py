@@ -279,11 +279,16 @@ def load_dbow2_yml(path: str) -> Vocabulary:
                     centroids[l2][leaf] = d
                     node_valid[l2][leaf] = True
                 word_weights[leaf] = w
-    if n_dropped:
+    # orphan subtrees (a corrupted parentId chain never reaching the root,
+    # or children of a node dropped by the > k guard) are never visited by
+    # the BFS — reconcile the count so a damaged file cannot report success
+    n_orphan = len(nodes) - n_placed - n_dropped
+    if n_dropped or n_orphan:
         import sys
 
-        print(f"load_dbow2_yml: dropped {n_dropped} malformed nodes "
-              f"(placed {n_placed})", file=sys.stderr)
+        print(f"load_dbow2_yml: dropped {n_dropped} malformed nodes, "
+              f"{n_orphan} orphaned (placed {n_placed} of {len(nodes)})",
+              file=sys.stderr)
     return Vocabulary(
         k=k,
         depth=L,

@@ -26,7 +26,7 @@ class EurocSession(NamedTuple):
     gt_ts: np.ndarray  # (G,) or empty
     gt_t: np.ndarray  # (G, 3)
     gt_q: np.ndarray  # (G, 4) qx qy qz qw
-    cam1_files: list = []  # (F,) right-camera paths when cam1 exists
+    cam1_files: tuple = ()  # (F,) right-camera paths when cam1 exists
     intrinsics: tuple | None = None  # (fu, fv, cu, cv) from sensor.yaml
     baseline: float = 0.0  # |t_cam1 - t_cam0| from the T_BS extrinsics
 
@@ -111,7 +111,7 @@ def load_euroc(root: str) -> EurocSession:
         gt_ts=np.asarray(gt_ts),
         gt_t=np.asarray(gt_t, np.float32).reshape(-1, 3),
         gt_q=np.asarray(gt_q, np.float32).reshape(-1, 4),
-        cam1_files=cam1_files,
+        cam1_files=tuple(cam1_files),
         intrinsics=intr,
         baseline=baseline,
     )

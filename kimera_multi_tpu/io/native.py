@@ -62,7 +62,8 @@ def _load():
                                   ctypes.POINTER(ctypes.c_uint8),
                                   ctypes.c_uint32]
     lib.kmt_peer_new.restype = ctypes.c_void_p
-    lib.kmt_peer_new.argtypes = [ctypes.c_int32, ctypes.c_int32]
+    lib.kmt_peer_new.argtypes = [ctypes.c_int32, ctypes.c_int32,
+                                 ctypes.c_int32]
     lib.kmt_peer_close.argtypes = [ctypes.c_void_p]
     lib.kmt_peer_port.restype = ctypes.c_int32
     lib.kmt_peer_port.argtypes = [ctypes.c_void_p]
@@ -232,9 +233,11 @@ class Peer:
     queue (backpressure = flow control), chunked sends, and byte counters
     (dpgo_ros mTotalBytesReceived equivalent)."""
 
-    def __init__(self, port: int = 0, queue_capacity: int = 512):
+    def __init__(self, port: int = 0, queue_capacity: int = 512,
+                 loopback_only: bool = True):
         self._lib = _load()
-        h = self._lib.kmt_peer_new(port, queue_capacity)
+        h = self._lib.kmt_peer_new(port, queue_capacity,
+                                   1 if loopback_only else 0)
         if not h:
             raise OSError(f"failed to bind DCN peer on port {port}")
         self._h = ctypes.c_void_p(h)

@@ -100,8 +100,7 @@ class RbcdConfig(NamedTuple):
     rank: int = 5  # staircase rank r (> d = 3)
     inner_iters: int = 3  # (direction -> global step) cycles per round
     cg_iters: int = 25  # CG iterations for the block Newton solve
-    step_trials: int = 8  # backtracking ladder size
-    step_init: float = 1.0
+    step_init: float = 1.0  # cap on the exact-chord step (s* <= 4x this)
 
 
 def lift_params(
@@ -316,7 +315,11 @@ def _global_step(
     # descent direction => b < 0; h = 2||J deltas||^2_w >= 0
     s_star = jnp.where(h > _EPS, -b / jnp.maximum(h, _EPS), 0.0)
     s_star = jnp.clip(s_star, 0.0, 4.0 * cfg.step_init)
-    steps = s_star * jnp.asarray([1.0, 0.5, 0.25])
+    # deep fallbacks: on a high-curvature graph the retraction can bend
+    # the chord enough that even s*/4 fails; a sufficiently small step
+    # along a descent direction always improves, so probing down to s*/64
+    # prevents a deterministic no-step stall
+    steps = s_star * jnp.asarray([1.0, 0.5, 0.25, 1.0 / 16, 1.0 / 64])
 
     def try_step(s):
         Yc = stiefel.lifted_retract(Y, s * deltas, d)

@@ -201,7 +201,7 @@ class Replayer {
 
 class Peer {
  public:
-  Peer(int32_t port, size_t queue_capacity)
+  Peer(int32_t port, size_t queue_capacity, bool loopback_only)
       : capacity_(queue_capacity) {
     listen_fd_ = ::socket(AF_INET, SOCK_STREAM, 0);
     if (listen_fd_ < 0) return;
@@ -209,7 +209,9 @@ class Peer {
     ::setsockopt(listen_fd_, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
     sockaddr_in addr{};
     addr.sin_family = AF_INET;
-    addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+    // loopback for same-host pods; INADDR_ANY for real cross-machine DCN
+    addr.sin_addr.s_addr =
+        htonl(loopback_only ? INADDR_LOOPBACK : INADDR_ANY);
     addr.sin_port = htons(static_cast<uint16_t>(port));
     if (::bind(listen_fd_, reinterpret_cast<sockaddr*>(&addr),
                sizeof(addr)) != 0 ||
@@ -587,10 +589,13 @@ int32_t kmt_buffer_write_file(void* b, const char* path) {
 
 // ---- DCN peer --------------------------------------------------------
 
-// Binds a loopback TCP listener (port 0 = ephemeral). queue_capacity
-// bounds the receive queue in packets (backpressure past that).
-void* kmt_peer_new(int32_t port, int32_t queue_capacity) {
-  Peer* p = new Peer(port, static_cast<size_t>(queue_capacity));
+// Binds a TCP listener (port 0 = ephemeral; loopback_only != 0 restricts
+// to 127.0.0.1). queue_capacity bounds the receive queue in packets
+// (backpressure past that).
+void* kmt_peer_new(int32_t port, int32_t queue_capacity,
+                   int32_t loopback_only) {
+  Peer* p = new Peer(port, static_cast<size_t>(queue_capacity),
+                     loopback_only != 0);
   if (!p->ok()) {
     delete p;
     return nullptr;

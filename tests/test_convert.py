@@ -138,3 +138,37 @@ def test_euroc_convert_and_replay_gate(tmp_path):
     assert rep.n_candidates == len(pairs)
     assert rep.n_mono_exact == rep.n_candidates
     assert rep.n_stereo_exact == rep.n_candidates
+
+
+def test_euroc_mode_end_to_end(tmp_path):
+    """--mode euroc: recorded ASL-layout sessions flow VIO -> distributed
+    LCD -> PGO in one command (the kimera_ros real-data path; two
+    staggered sessions of the same scene guarantee inter-robot loops)."""
+    from kimera_multi_tpu.cli import run as run_mod
+
+    cam = CameraModel(fx=FX, fy=FY, cx=W / 2, cy=H / 2)
+    rig = render.StereoRig(cam=cam, H=H, W=W, baseline=0.2)
+    scene = render.make_scene(seed=3, n_points=350)
+    F, stride = 20, 8
+    seq = render.render_sequence(scene, rig, n_frames=F + stride,
+                                 rate_hz=10.0, imu_rate_hz=100.0,
+                                 speed=0.6, yaw_rate=0.1)
+    roots = []
+    for r in range(2):
+        sl = slice(r * stride, r * stride + F)
+        sub = seq._replace(
+            left=seq.left[sl], right=seq.right[sl],
+            timestamps=seq.timestamps[sl],
+            R_gt=seq.R_gt[sl], t_gt=seq.t_gt[sl])
+        root = str(tmp_path / f"sess{r}")
+        _make_euroc_tree(root, sub, F)
+        roots.append(root)
+
+    res = run_mod.main(["--mode", "euroc", "--euroc-roots", *roots,
+                        "--log-dir", str(tmp_path / "logs"),
+                        "--gnc-rounds", "20"])
+    assert res["n_inter_loops"] >= 1
+    for r in range(2):
+        assert res["ape"][r].rmse_trans < 0.5
+        ddir = tmp_path / "logs" / f"robot{r}" / "distributed"
+        assert list(ddir.glob("kimera_distributed_poses_tum_*.tum"))

@@ -114,6 +114,37 @@ def test_fabric_allgather_tensor_two_pods_in_threads():
     np.testing.assert_array_equal(results[1], full_ref)
 
 
+def test_bulk_batch_larger_than_queue_does_not_deadlock():
+    """Both pods send a batch far exceeding the bounded receive queue +
+    TCP buffers BEFORE collecting — the send path must drain incoming
+    packets (DcnFabric._pump) or both sides block in send() forever."""
+    from kimera_multi_tpu.dist import dcn
+
+    base = _port_base(500)
+    NPKT = 600  # >> queue_capacity below
+    payload = np.arange(512, dtype=np.float32)  # ~2 KB per packet
+    results = {}
+
+    def pod(rank):
+        fab = dcn.DcnFabric(rank, 2, base, queue_capacity=64)
+        for i in range(NPKT):
+            fab.send_tensor(tag=i, arr=payload)
+        fab.end_batch(0)
+        got = fab.collect(0, timeout_s=60)
+        results[rank] = len(got["tensors"])
+        fab.send_ctrl(dcn.CTRL_HASH, 1, 0)
+        fab.end_batch(1)
+        fab.collect(1, timeout_s=20)
+        fab.close()
+
+    t1 = threading.Thread(target=pod, args=(1,), daemon=True)
+    t1.start()
+    pod(0)
+    t1.join(timeout=60)
+    assert not t1.is_alive(), "pod 1 deadlocked"
+    assert results[0] == NPKT and results[1] == NPKT
+
+
 def test_two_process_pods_reach_bitwise_consensus(tmp_path):
     """Full multi-pod e2e across REAL process boundaries: VLC exchange ->
     partitioned verification -> edge exchange -> dpgo rounds with pose
