@@ -170,14 +170,17 @@ def essential_5pt(f1: jnp.ndarray, f2: jnp.ndarray, n_starts: int = 16,
     ok (...,)).
     """
     from . import soa
-    from .linalg import smallest_eigvecs_psd
+    from .linalg import nullspace_qr
 
-    # nullspace basis: 4 smallest eigvecs of the 9x9 normal matrix
+    # nullspace basis: exact orthonormal complement of the 5 design rows
+    # via unrolled Householder QR (replaced 4 smallest eigvecs of the 9x9
+    # normal matrix by inverse iteration — same subspace for full-rank
+    # samples, exact instead of iterative, and the 9x9 Cholesky was the
+    # largest single slice of the mono stage on TPU)
     rows = (f2[..., :, :, None] * f1[..., :, None, :]).reshape(
         *f1.shape[:-2], f1.shape[-2], 9)
-    N = jnp.einsum("...ki,...kj->...ij", rows, rows)
-    basis = smallest_eigvecs_psd(N, 4)  # (..., 9, 4)
-    ok = jnp.ones(N.shape[:-2], bool)
+    basis = nullspace_qr(rows)  # (..., 9, 4)
+    ok = jnp.ones(rows.shape[:-2], bool)
 
     # SoA: basis entries (..., 1) broadcast against the start axis in q
     B9 = [[basis[..., i, s][..., None] for i in range(9)]
