@@ -23,6 +23,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# CPU tests get their OWN cache: sharing one directory with concurrent
+# TPU bench processes produced a one-off SIGSEGV loading an entry mid-
+# write, and stale CPU AOT blobs compiled on a different machine carry a
+# machine-feature mismatch (cpu_aot_loader warns it "could lead to
+# execution errors such as SIGILL")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
