@@ -22,6 +22,11 @@ out and shipped no number):
   * every phase is timeboxed against an overall deadline
     (BENCH_DEADLINE_S, default 400 s); phases that do not fit are skipped
     with a logged reason, never silently;
+  * the phase budget clock starts AFTER the TPU relay device claim
+    completes (observed stalls 200-800 s are environment latency, not
+    compute; they starved the RBCD phases in rounds 1-3), and the RBCD
+    rounds are compiled on a background thread overlapping the
+    verification phase so even a tight budget fits one timed round;
   * a SIGTERM/SIGINT handler prints the JSON with whatever has been
     measured so far, so even an external `timeout` kill ships the number;
   * each jitted stage is lowered+compiled exactly ONCE; timing uses the
@@ -60,6 +65,12 @@ _PEAK_FLOPS = {
 
 _T0 = time.perf_counter()
 _DEADLINE = float(os.environ.get("BENCH_DEADLINE_S", "400"))
+# Phase-budget epoch: reset to "now" once the device round-trip completes.
+# The TPU relay's claim/transfer stall (observed 200-800 s) is environment
+# latency, not compute; charging it against the phase budget starved the
+# RBCD phases for three consecutive rounds (VERDICT r3 weak 3 / item 1).
+# The absolute guard stays: an external SIGTERM still emits a partial line.
+_T_PHASE0 = None
 
 # filled in progressively; the signal handler prints whatever is here
 RESULT: dict = {
@@ -76,7 +87,8 @@ def _elapsed() -> float:
 
 
 def _remaining() -> float:
-    return _DEADLINE - _elapsed()
+    base = _T_PHASE0 if _T_PHASE0 is not None else _T0
+    return _DEADLINE - (time.perf_counter() - base)
 
 
 def _log(msg: str) -> None:
@@ -384,7 +396,12 @@ def bench_verifications(n_cand=128, K=704, reps=10):
     return vps, acc, flops / t_full, stages, pallas, hbm
 
 
-def bench_rbcd(n_robots=6, n_poses=256, reps=5, n_intra_lc=16, n_inter_lc=16):
+def prepare_rbcd(n_robots=6, n_poses=256, n_intra_lc=16, n_inter_lc=16):
+    """Build the synthetic graph and lower+compile one RBCD round.
+
+    Split from the timing loop so compilation can overlap the verification
+    timing phase (VERDICT r3 item 1b: a tight budget must still fit one
+    timed round)."""
     import jax
     import jax.numpy as jnp
 
@@ -411,7 +428,15 @@ def bench_rbcd(n_robots=6, n_poses=256, reps=5, n_intra_lc=16, n_inter_lc=16):
                                             g.poses_per_robot,
                                             buckets=buckets))
     compiled, _, _ = _compile_once(one_round, Y0)
-    _log("rbcd round compiled")
+    _log(f"rbcd round {n_robots}x{n_poses} compiled")
+    return compiled, Y0
+
+
+def time_rbcd(compiled, Y0, reps=5):
+    """rounds/s of a precompiled RBCD round (each round =
+    cfg.inner_iters block-Newton cycles)."""
+    import jax
+
     Y = compiled(Y0)
     jax.block_until_ready(Y)
     t0 = time.perf_counter()
@@ -419,7 +444,7 @@ def bench_rbcd(n_robots=6, n_poses=256, reps=5, n_intra_lc=16, n_inter_lc=16):
         Y = compiled(Y)
     jax.block_until_ready(Y)
     dt = time.perf_counter() - t0
-    return reps / dt  # rounds/s (each = cfg.inner_iters block-Newton cycles)
+    return reps / dt
 
 
 def main():
@@ -453,7 +478,32 @@ def main():
 
     x = jnp.asarray(np.arange(4096, dtype=np.float32))
     assert float(jnp.sum(x)) > 0
-    _log("device claimed; transfer round-trip ok")
+    global _T_PHASE0
+    _T_PHASE0 = time.perf_counter()
+    claim_s = _T_PHASE0 - _T0
+    RESULT["device_claim_s"] = round(claim_s, 1)
+    _log(f"device claimed; transfer round-trip ok "
+         f"(claim latency {claim_s:.1f}s excluded from phase budget; "
+         f"{_DEADLINE:.0f}s of phase budget starts now)")
+
+    # kick off RBCD graph-build + compile in the background so it overlaps
+    # the verification compile/timing phase (relay compiles are network-
+    # bound and release the GIL; device timing below is unaffected)
+    import threading
+
+    rbcd_prep: dict = {}
+
+    def _prep_rbcd_bg():
+        for name, kw in (("6x256", {}),
+                         ("6x2048", dict(n_poses=2048, n_intra_lc=64,
+                                         n_inter_lc=64))):
+            try:
+                rbcd_prep[name] = prepare_rbcd(**kw)
+            except Exception as e:  # surfaced when the result is read
+                rbcd_prep[name] = e
+
+    rbcd_thread = threading.Thread(target=_prep_rbcd_bg, daemon=True)
+    rbcd_thread.start()
 
     # --- primary metric ---------------------------------------------------
     vps, acc, flops_per_s, stages, pallas, hbm = bench_verifications()
@@ -489,32 +539,37 @@ def main():
     )
 
     # --- secondary metrics, each timeboxed --------------------------------
+    # The RBCD rounds were already compiling in the background; joining the
+    # thread here means even a tight post-claim budget fits the timed
+    # rounds (compile time was hidden behind the verification phase).
     skipped = []
-    if _remaining() > 60:
-        try:
-            rps = bench_rbcd()
-            _log(f"rbcd rounds/s (6x256 graph, bucketed): {rps:.2f}")
-            RESULT["rbcd_rounds_per_s_6x256"] = round(rps, 2)
-        except Exception as e:
-            _log(f"rbcd 6x256 bench failed: {e}")
-            skipped.append("rbcd_6x256:error")
-    else:
-        _log(f"skipping rbcd 6x256 ({_remaining():.0f}s left < 60s)")
-        skipped.append("rbcd_6x256:deadline")
+    rbcd_thread.join(timeout=max(_remaining() - 15.0, 10.0))
+    if rbcd_thread.is_alive():
+        _log("rbcd compile thread still running at budget edge")
 
-    if _remaining() > 90:
+    for name, reps, floor in (("6x256", 5, 10), ("6x2048", 3, 15)):
+        key = f"rbcd_rounds_per_s_{name}"
+        prep = rbcd_prep.get(name)
+        if isinstance(prep, Exception):
+            _log(f"rbcd {name} prepare failed: {prep}")
+            skipped.append(f"rbcd_{name}:error")
+            continue
+        if prep is None:
+            _log(f"rbcd {name} not compiled before budget edge")
+            skipped.append(f"rbcd_{name}:deadline")
+            continue
+        if _remaining() < floor:
+            # still fit ONE timed round rather than skipping outright
+            reps = 1
+            _log(f"rbcd {name}: {_remaining():.0f}s left < {floor}s, "
+                 "falling back to a single timed round")
         try:
-            rps_campus = bench_rbcd(n_poses=2048, reps=3, n_intra_lc=64,
-                                    n_inter_lc=64)
-            _log(f"rbcd rounds/s (6x2048 campus-scale, bucketed): "
-                 f"{rps_campus:.2f}")
-            RESULT["rbcd_rounds_per_s_6x2048"] = round(rps_campus, 2)
+            rps = time_rbcd(*prep, reps=reps)
+            _log(f"rbcd rounds/s ({name} graph, bucketed): {rps:.2f}")
+            RESULT[key] = round(rps, 2)
         except Exception as e:
-            _log(f"rbcd campus bench failed: {e}")
-            skipped.append("rbcd_6x2048:error")
-    else:
-        _log(f"skipping rbcd 6x2048 ({_remaining():.0f}s left < 90s)")
-        skipped.append("rbcd_6x2048:deadline")
+            _log(f"rbcd {name} bench failed: {e}")
+            skipped.append(f"rbcd_{name}:error")
 
     if skipped:
         RESULT["skipped_phases"] = skipped
