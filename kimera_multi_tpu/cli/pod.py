@@ -147,16 +147,14 @@ def main(argv=None):
     fabric.send_edges(local_edges)
     fabric.end_batch(1)
     got = fabric.collect(1, max_edges=int(local_edges.capacity) * pods * 2)
-    # Edges arrive as one packet per edge (the wire format frames each
-    # edge; TCP preserves per-connection order). Deterministic merge:
-    # group by sender pod (recoverable from the src robot — a pod only
-    # originates edges whose query robot it owns), concat by rank.
+    # Deterministic merge: the fabric attributes each edge batch to its
+    # sender pod at the transport layer (connection handshake), so the
+    # merge order is independent of the robot->pod ownership function —
+    # concat by sender rank.
     by_pod: dict[int, list] = {i: [] for i in range(pods)}
     by_pod[rank].append(local_edges)
-    for b in got["edges"]:
-        srs = np.asarray(b.src_robot)[np.asarray(b.valid)]
-        if len(srs):
-            by_pod[int(srs[0]) % pods].append(b)
+    for sender, b in got["edges"]:
+        by_pod[sender].append(b)
     edges = concat_edges([b for i in sorted(by_pod) for b in by_pod[i]])
     n_edges = int(np.asarray(edges.valid).sum())
     log(rank, f"edge exchange done: {n_edges} edges in the shared graph")
@@ -232,17 +230,24 @@ def main(argv=None):
         pgo.PgoParams(R=R_all, t=t_all), edges, gstate.weights, ppr,
         gn_iters=5, cg_iters=40)
 
-    # consensus barrier: every pod must hold the bit-identical solution
+    # consensus barrier: every pod must hold the bit-identical solution —
+    # digest covers rotations, translations AND the GNC weights (agreeing
+    # on translations alone would miss rotation/weight divergence), full
+    # 32 bits (the wire field is int32, so reinterpret as signed)
     import zlib
 
-    digest = zlib.crc32(np.asarray(params.t, np.float32).tobytes())
-    fabric.send_ctrl(dcn.CTRL_HASH, 2 + args.rounds, value=digest & 0x7FFFFFFF)
+    digest = zlib.crc32(
+        np.asarray(params.R, np.float32).tobytes()
+        + np.asarray(params.t, np.float32).tobytes()
+        + np.asarray(gstate.weights, np.float32).tobytes())
+    wire_digest = digest - (1 << 32) if digest >= (1 << 31) else digest
+    fabric.send_ctrl(dcn.CTRL_HASH, 2 + args.rounds, value=wire_digest)
     fabric.end_batch(2 + args.rounds)
     got = fabric.collect(2 + args.rounds)
     peer_digests = {c.sender: c.value for c in got["ctrl"]
                     if c.kind == dcn.CTRL_HASH}
-    agree = all(v == (digest & 0x7FFFFFFF) for v in peer_digests.values())
-    log(rank, f"consensus: digest {digest & 0x7FFFFFFF:#x}, "
+    agree = all(v == wire_digest for v in peer_digests.values())
+    log(rank, f"consensus: digest {digest:#010x}, "
               f"{len(peer_digests)} peers, agree={agree}")
 
     # per-owned-robot logs + APE (each pod writes only its robots, like
@@ -267,7 +272,7 @@ def main(argv=None):
     sent, recv = fabric.bytes_counters()
     print(json.dumps({
         "pod": rank, "pods": pods, "robots": own,
-        "agree": bool(agree), "digest": digest & 0x7FFFFFFF,
+        "agree": bool(agree), "digest": int(digest),
         "final_cost": float(cost),
         "ape_rmse": ape_vals,
         "dcn_bytes_sent": int(sent), "dcn_bytes_received": int(recv),

@@ -41,6 +41,9 @@ TYPE_TENSOR = 4
 
 CTRL_END_OF_BATCH = 1
 CTRL_HASH = 2
+CTRL_HELLO = 3  # handshake: maps a TCP connection to a pod rank
+
+_EDGE_REC_BYTES = 76  # sizeof(EdgeRec) in kmt_native.cpp (all 4-byte fields)
 
 _HDR = struct.Struct("<IBI")  # magic, type, payload_len
 _MAGIC = 0x314B4D54
@@ -115,7 +118,14 @@ class DcnFabric:
                                 queue_capacity=queue_capacity,
                                 loopback_only=(host in ("127.0.0.1",
                                                         "localhost")))
-        self._pending: deque = deque()  # drained-but-unconsumed packets
+        # (sender_rank, ptype, buf) drained but not yet consumed, in
+        # arrival order
+        self._pending: deque = deque()
+        # per-sender packets received AFTER that sender's END_OF_BATCH for
+        # the round currently being collected — they belong to the
+        # sender's NEXT round (TCP FIFO per connection makes this exact)
+        self._stash: dict[int, deque] = {}
+        self._rank_of_conn: dict[int, int] = {}
         for j in range(rank):
             self.peer.connect(host, port_base + j,
                               retries=int(setup_timeout_s / 0.1))
@@ -126,6 +136,35 @@ class DcnFabric:
                     f"pod {rank}: only {self.peer.n_conns()} of "
                     f"{n_pods - 1} peers connected")
             time.sleep(0.02)
+        # Handshake: every pod broadcasts a HELLO carrying its rank. The
+        # HELLO is the FIRST packet on each connection (FIFO), so mapping
+        # conn -> rank here attributes every later packet to its sender —
+        # the fix for the >= 3-pod round-interleaving race (a fast peer's
+        # next-round traffic used to be misfiled into the current round).
+        buf = native.Buffer()
+        buf.write_raw(TYPE_CTRL, pack_ctrl(CTRL_HELLO, 0, self.rank, 0))
+        self.peer.send(buf)
+        while len(self._rank_of_conn) < n_pods - 1:
+            got = self.peer.recv_from(
+                timeout_ms=int(setup_timeout_s * 1000))
+            if got is None:
+                raise TimeoutError(
+                    f"pod {rank}: handshake timeout "
+                    f"({len(self._rank_of_conn)}/{n_pods - 1} HELLOs)")
+            ptype, b, conn = got
+            if ptype == TYPE_CTRL:
+                c = unpack_ctrl(_payload(b))
+                if c.kind == CTRL_HELLO:
+                    self._rank_of_conn[conn] = c.sender
+                    self._stash.setdefault(c.sender, deque())
+                    continue
+            # a non-HELLO packet can only come from an already-mapped
+            # connection (the HELLO is first in that connection's FIFO)
+            if conn not in self._rank_of_conn:
+                raise RuntimeError(
+                    f"pod {rank}: data packet type {ptype} before HELLO "
+                    f"on connection {conn}")
+            self._pending.append((self._rank_of_conn[conn], ptype, b))
 
     def _pump(self) -> None:
         """Drain everything already received into the pending store.
@@ -137,15 +176,21 @@ class DcnFabric:
         recv_loop stops reading once its queue fills — that backpressure
         is flow control between phases, but deadlock within one)."""
         while True:
-            got = self.peer.recv(timeout_ms=0)
+            got = self.peer.recv_from(timeout_ms=0)
             if got is None:
                 return
-            self._pending.append(got)
+            ptype, buf, conn = got
+            self._pending.append((self._rank_of_conn[conn], ptype, buf))
 
     def _next_packet(self, timeout_ms: int):
+        """(sender_rank, ptype, buf) or None on timeout."""
         if self._pending:
             return self._pending.popleft()
-        return self.peer.recv(timeout_ms=timeout_ms)
+        got = self.peer.recv_from(timeout_ms=timeout_ms)
+        if got is None:
+            return None
+        ptype, buf, conn = got
+        return self._rank_of_conn[conn], ptype, buf
 
     # ---- send side -----------------------------------------------------
     def send_edges(self, edges) -> int:
@@ -182,23 +227,32 @@ class DcnFabric:
                 max_feats: int = 1024, timeout_s: float = 120.0):
         """Receive until END_OF_BATCH(rnd) arrived from every other pod.
 
-        Returns dict with keys 'edges' (list of PoseGraphEdges), 'vlc'
-        (list of frame dicts), 'tensors' (list of Tensor), 'ctrl' (list of
-        non-terminator Ctrl). Terminators for earlier rounds are tolerated
-        (stragglers); later rounds are a protocol error.
+        Returns dict with keys 'edges' (list of (sender_rank,
+        PoseGraphEdges) — one batched decode per sender), 'vlc' (list of
+        frame dicts), 'tensors' (list of Tensor), 'ctrl' (list of
+        non-terminator Ctrl).
+
+        Round safety with >= 3 pods: a fast peer that has already seen
+        every round-`rnd` terminator legitimately advances and sends
+        round-`rnd`+1 traffic while this pod is still collecting round
+        `rnd`. Every packet is attributed to its sender (connection
+        handshake + per-connection TCP FIFO); once a sender's
+        END_OF_BATCH(rnd) is consumed, any further packet from that
+        sender is stashed for the next collect instead of being misfiled
+        into this round. Terminators for earlier rounds are tolerated
+        (uncollected fire-and-forget batches); a terminator from a LATER
+        round without the current one first would violate FIFO and raises.
         """
         out = {"edges": [], "vlc": [], "tensors": [], "ctrl": []}
         seen_eob: set[int] = set()
         want = self.n_pods - 1
-        while len(seen_eob) < want:
-            got = self._next_packet(timeout_ms=int(timeout_s * 1000))
-            if got is None:
-                raise TimeoutError(
-                    f"pod {self.rank} round {rnd}: {len(seen_eob)}/{want} "
-                    f"terminators after {timeout_s}s")
-            ptype, buf = got
+        # raw framed edge-packet bytes per sender, decoded once at the end
+        edge_raw: dict[int, list] = {}
+
+        def _consume(sender: int, ptype: int, buf) -> bool:
+            """Returns True when the packet was this round's terminator."""
             if ptype == TYPE_EDGE:
-                out["edges"].append(buf.read_edges(max_edges))
+                edge_raw.setdefault(sender, []).append(buf.tobytes())
             elif ptype == TYPE_VLC:
                 out["vlc"].append(buf.read_vlc(max_feats))
             elif ptype == TYPE_TENSOR:
@@ -207,13 +261,48 @@ class DcnFabric:
                 c = unpack_ctrl(_payload(buf))
                 if c.kind == CTRL_END_OF_BATCH:
                     if c.round == rnd:
-                        seen_eob.add(c.sender)
-                    elif c.round > rnd:
+                        return True
+                    if c.round > rnd:
                         raise RuntimeError(
-                            f"pod {self.rank}: terminator from the future "
-                            f"(round {c.round} > {rnd})")
+                            f"pod {self.rank}: terminator for round "
+                            f"{c.round} from pod {sender} before its "
+                            f"round-{rnd} terminator (FIFO violation)")
+                    # c.round < rnd: stale terminator of a round the
+                    # caller never collected — ignore
                 else:
                     out["ctrl"].append(c)
+            return False
+
+        # first replay per-sender stashes (packets that arrived beyond a
+        # sender's terminator during an earlier collect)
+        for s, dq in self._stash.items():
+            while dq and s not in seen_eob:
+                ptype, buf = dq.popleft()
+                if _consume(s, ptype, buf):
+                    seen_eob.add(s)
+
+        while len(seen_eob) < want:
+            got = self._next_packet(timeout_ms=int(timeout_s * 1000))
+            if got is None:
+                raise TimeoutError(
+                    f"pod {self.rank} round {rnd}: {len(seen_eob)}/{want} "
+                    f"terminators after {timeout_s}s")
+            sender, ptype, buf = got
+            if sender in seen_eob:
+                self._stash[sender].append((ptype, buf))
+                continue
+            if _consume(sender, ptype, buf):
+                seen_eob.add(sender)
+
+        for s in sorted(edge_raw):
+            raw = b"".join(edge_raw[s])
+            buf = native.Buffer()
+            buf.load(raw)
+            # capacity from the actual byte count (each framed edge packet
+            # is 9 header + 76 record bytes), capped by max_edges — not
+            # one max_edges-sized allocation per single-edge packet
+            cap = min(max_edges, len(raw) // _EDGE_REC_BYTES + 1)
+            out["edges"].append((s, buf.read_edges(cap)))
         return out
 
     # ---- composite ops ---------------------------------------------------

@@ -23,9 +23,18 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libkmt_native.so")
 _lib = None
 
 
+def _stale() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    src = os.path.join(_NATIVE_DIR, "kmt_native.cpp")
+    return os.path.exists(src) and \
+        os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+
+
 def build(force: bool = False) -> str:
-    """Build the native library (cmake + make). Returns the .so path."""
-    if os.path.exists(_LIB_PATH) and not force:
+    """Build the native library (cmake + make). Returns the .so path.
+    Rebuilds automatically when kmt_native.cpp is newer than the .so."""
+    if not _stale() and not force:
         return _LIB_PATH
     bdir = os.path.join(_NATIVE_DIR, "build")
     os.makedirs(bdir, exist_ok=True)
@@ -78,6 +87,10 @@ def _load():
     lib.kmt_peer_recv.restype = ctypes.c_int32
     lib.kmt_peer_recv.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                   ctypes.c_int32]
+    lib.kmt_peer_recv_from.restype = ctypes.c_int32
+    lib.kmt_peer_recv_from.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_int32,
+                                       ctypes.POINTER(ctypes.c_int32)]
     lib.kmt_peer_bytes_sent.restype = ctypes.c_int64
     lib.kmt_peer_bytes_sent.argtypes = [ctypes.c_void_p]
     lib.kmt_peer_bytes_received.restype = ctypes.c_int64
@@ -278,6 +291,21 @@ class Peer:
         if rc < 0:
             raise ConnectionError("all DCN connections closed")
         return rc, buf
+
+    def recv_from(self, timeout_ms: int = -1):
+        """Next packet as (type, Buffer, conn_id); None on timeout. The
+        connection id identifies the sender (per-connection TCP FIFO),
+        which is what lets the DCN round protocol attribute traffic to
+        peers instead of inferring identity from payload contents."""
+        buf = Buffer()
+        conn = ctypes.c_int32(-1)
+        rc = self._lib.kmt_peer_recv_from(self._h, buf._h, timeout_ms,
+                                          ctypes.byref(conn))
+        if rc == 0:
+            return None
+        if rc < 0:
+            raise ConnectionError("all DCN connections closed")
+        return rc, buf, int(conn.value)
 
     def bytes_sent(self) -> int:
         return self._lib.kmt_peer_bytes_sent(self._h)

@@ -98,6 +98,7 @@ void write_packet(Buffer* b, uint8_t type, const Buffer& payload) {
 
 struct Packet {
   uint8_t type;
+  int32_t conn = -1;  // receiving connection id (DCN peer only)
   std::vector<uint8_t> payload;
 };
 
@@ -316,8 +317,12 @@ class Peer {
 
   // Pops the next packet (framed: header+payload) into out. Returns the
   // packet type, 0 on timeout, -1 when all connections are closed and the
-  // queue is drained.
-  int32_t recv(std::vector<uint8_t>* out, int32_t timeout_ms) {
+  // queue is drained. conn_out (optional) receives the id of the
+  // connection the packet arrived on — per-connection TCP FIFO plus this
+  // identity is what lets the DCN layer attribute packets to senders and
+  // keep multi-pod rounds ordered (dist/dcn.py collect()).
+  int32_t recv(std::vector<uint8_t>* out, int32_t timeout_ms,
+               int32_t* conn_out = nullptr) {
     std::unique_lock<std::mutex> lk(mu_);
     // "dead" only once at least one connection existed and all are gone —
     // a freshly bound peer waiting for inbound connects is just idle
@@ -334,6 +339,7 @@ class Peer {
     q_.pop();
     cv_push_.notify_one();
     lk.unlock();
+    if (conn_out) *conn_out = p.conn;
     Buffer framed;
     Buffer payload;
     payload.data = std::move(p.payload);
@@ -355,7 +361,7 @@ class Peer {
       ++live_readers_;
       had_readers_ = true;
     }
-    recv_threads_.emplace_back([this, fd] { this->recv_loop(fd); });
+    recv_threads_.emplace_back([this, fd, id] { this->recv_loop(fd, id); });
     return id;
   }
 
@@ -381,7 +387,7 @@ class Peer {
     return true;
   }
 
-  void recv_loop(int fd) {
+  void recv_loop(int fd, int32_t conn_id) {
     while (!stop_) {
       uint32_t magic = 0, len = 0;
       uint8_t type = 0;
@@ -390,6 +396,7 @@ class Peer {
         break;
       Packet p;
       p.type = type;
+      p.conn = conn_id;
       p.payload.resize(len);
       if (len && !read_exact(fd, p.payload.data(), len)) break;
       std::unique_lock<std::mutex> lk(mu_);
@@ -629,6 +636,22 @@ int32_t kmt_peer_recv(void* p, void* buffer_out, int32_t timeout_ms) {
     b->data = std::move(framed);
     b->read_pos = 0;
   }
+  return t;
+}
+
+// Like kmt_peer_recv but also reports the receiving connection id in
+// *conn_out — the sender-attribution primitive for multi-pod rounds.
+int32_t kmt_peer_recv_from(void* p, void* buffer_out, int32_t timeout_ms,
+                           int32_t* conn_out) {
+  Buffer* b = static_cast<Buffer*>(buffer_out);
+  std::vector<uint8_t> framed;
+  int32_t conn = -1;
+  int32_t t = static_cast<Peer*>(p)->recv(&framed, timeout_ms, &conn);
+  if (t > 0) {
+    b->data = std::move(framed);
+    b->read_pos = 0;
+  }
+  if (conn_out) *conn_out = conn;
   return t;
 }
 

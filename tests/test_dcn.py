@@ -114,6 +114,60 @@ def test_fabric_allgather_tensor_two_pods_in_threads():
     np.testing.assert_array_equal(results[1], full_ref)
 
 
+def test_three_pod_round_interleaving_is_safe():
+    """>= 3 pods: a fast pod that has collected round n legitimately
+    races ahead and sends round n+1 traffic while a slow pod still owes
+    its round-n terminator. The fabric must attribute packets to senders
+    and stash the fast pod's next-round traffic instead of misfiling it
+    into round n (or raising 'terminator from the future') — the ADVICE
+    r3 medium finding. Staggered per-rank delays force the interleaving;
+    every pod must still reassemble every round's tensor exactly."""
+    import time
+
+    from kimera_multi_tpu.dist import dcn
+
+    base = _port_base(900)
+    P, N_ROUNDS, R = 3, 4, 6
+    refs = [np.arange(R * 4, dtype=np.float32).reshape(R, 4) + 100 * r
+            for r in range(N_ROUNDS)]
+    results = {rank: [] for rank in range(P)}
+    errors = {}
+
+    def pod(rank):
+        try:
+            fab = dcn.DcnFabric(rank, P, base)
+            for rnd in range(N_ROUNDS):
+                # rank 2 lags every round; rank 0 races ahead, so its
+                # round rnd+1 tensors reach the others while they still
+                # wait on rank 2's round-rnd terminator
+                time.sleep(0.12 * rank)
+                own = [i for i in range(R) if i % P == rank]
+                full = fab.allgather_tensor(
+                    tag=10 + rnd, rnd=rnd, local=refs[rnd][own],
+                    pod_of_part=lambda i: i % P, n_parts=R,
+                    timeout_s=30)
+                results[rank].append(full)
+            fab.send_ctrl(dcn.CTRL_HASH, N_ROUNDS, 0)
+            fab.end_batch(N_ROUNDS)
+            fab.collect(N_ROUNDS, timeout_s=20)
+            fab.close()
+        except Exception as e:  # surfaced by the main thread
+            errors[rank] = e
+
+    threads = [threading.Thread(target=pod, args=(r,), daemon=True)
+               for r in range(1, P)]
+    for t in threads:
+        t.start()
+    pod(0)
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive(), "pod deadlocked"
+    assert not errors, errors
+    for rank in range(P):
+        for rnd in range(N_ROUNDS):
+            np.testing.assert_array_equal(results[rank][rnd], refs[rnd])
+
+
 def test_bulk_batch_larger_than_queue_does_not_deadlock():
     """Both pods send a batch far exceeding the bounded receive queue +
     TCP buffers BEFORE collecting — the send path must drain incoming
