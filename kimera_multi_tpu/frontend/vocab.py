@@ -214,7 +214,9 @@ def load_dbow2_yml(path: str) -> Vocabulary:
       * Word ids: the framework uses the flat leaf slot at level L-1 as the
         word id (consistent within one vocabulary — BoW vectors and L1
         scores are invariant to the relabeling). The file's `words:` block
-        is used only to sanity-check that weighted nodes are leaves.
+        is cross-checked: every entry must reference an existing node
+        that is a leaf of the parsed tree (stderr warning on mismatch,
+        consistent with the orphan reconciliation below).
 
     Memory plan for the real `mit_voc.yml` (k=10, L=5): dense levels hold
     10 + 10^2 + ... + 10^5 = 111,110 centroids x 32 B ~= 3.6 MB, plus
@@ -242,6 +244,23 @@ def load_dbow2_yml(path: str) -> Vocabulary:
         nid, pid = int(nid_s), int(pid_s)
         nodes[nid] = (pid, float(w), np.frombuffer(b, np.uint8))
         children.setdefault(pid, []).append(nid)
+
+    # words block cross-check: every listed wordId must reference a node
+    # that exists and is a LEAF of the children map (DBoW2 words are the
+    # tree's leaves; a words entry pointing at an internal/unknown node
+    # means the file is damaged)
+    words_block = txt.split("words:")[1] if "words:" in txt else ""
+    word_re = re.compile(r"wordId:\s*(\d+)\s*,?\s*nodeId:\s*(\d+)")
+    n_bad_words = 0
+    for mw in word_re.finditer(words_block):
+        wnid = int(mw.group(2))
+        if wnid not in nodes or wnid in children:
+            n_bad_words += 1
+    if n_bad_words:
+        import sys
+
+        print(f"load_dbow2_yml: {n_bad_words} words-block entries "
+              "reference missing or non-leaf nodes", file=sys.stderr)
 
     centroids = [np.zeros((k ** (l + 1), 32), np.uint8) for l in range(L)]
     node_valid = [np.zeros((k ** (l + 1),), bool) for l in range(L)]

@@ -256,6 +256,7 @@ def ransac_essential_5pt(
     gn_iters: int = 16,
     preselect_pts: int = 64,
     preselect_models: int = 512,
+    refine: bool = True,
 ):
     """2d2d monocular RANSAC with the true 5-point minimal solver
     (reference `ransac_2d2d_algorithm: 0/1` — Stewenius/Nister). Each
@@ -278,7 +279,8 @@ def ransac_essential_5pt(
     identical from 10 to 16 starts and does not degrade below 20 GN
     iterations — the ~10-real-roots bound of the 5-pt problem makes
     extra starts redundant."""
-    idx = _masked_sample(key, valid, n_hyp, 5)
+    picks, order = _masked_sample_parts(key, valid, n_hyp, 5)
+    idx = order[picks]
     E_h, ok_h = minimal.essential_5pt(f1[idx], f2[idx], n_starts=n_starts,
                                       gn_iters=gn_iters)
     # (H, S, 3, 3) -> flatten models
@@ -287,7 +289,12 @@ def ransac_essential_5pt(
     # fused Sampson-inlier counting (Pallas on TPU)
     K = f1.shape[0]
     if preselect_pts and H * S > preselect_models and K > 2 * preselect_pts:
-        sub = slice(0, preselect_pts)
+        # preselect on the first `preselect_pts` VALID correspondences:
+        # `order` is the stable valid-first permutation, so this subset is
+        # all-valid whenever >= preselect_pts correspondences are valid —
+        # a sparse or outlier-front-loaded valid mask can no longer tie
+        # every model at zero and make top_k pick arbitrary survivors
+        sub = order[:preselect_pts]
         counts_sub = score.essential_counts(
             E_flat, f1[sub], f2[sub], valid[sub], threshold)
         _, top = jax.lax.top_k(counts_sub, preselect_models)
@@ -299,12 +306,14 @@ def ransac_essential_5pt(
         best = jnp.argmax(counts)
     err0 = minimal.sampson_error(E_flat[best], f1, f2)
     best_inl = (err0 < threshold) & valid
-    # refine on consensus with the (weighted) 8-point least squares
-    E_r, ok_r = minimal.essential_8pt(f1, f2, best_inl.astype(f1.dtype))
-    use = ok_r & (jnp.sum(best_inl) >= 8)
-    E_b = jnp.where(use, E_r, E_flat[best])
-    err_b = minimal.sampson_error(E_b, f1, f2)
-    best_inl = (err_b < threshold) & valid
+    E_b = E_flat[best]
+    if refine:
+        # refine on consensus with the (weighted) 8-point least squares
+        E_r, ok_r = minimal.essential_8pt(f1, f2, best_inl.astype(f1.dtype))
+        use = ok_r & (jnp.sum(best_inl) >= 8)
+        E_b = jnp.where(use, E_r, E_b)
+        err_b = minimal.sampson_error(E_b, f1, f2)
+        best_inl = (err_b < threshold) & valid
     n_inl = jnp.sum(best_inl).astype(jnp.int32)
     return {
         "E": E_b,
