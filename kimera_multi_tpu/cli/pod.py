@@ -64,8 +64,9 @@ def main(argv=None):
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from ..core.backend import configure_compilation_cache
+
+    configure_compilation_cache()
 
     import jax.numpy as jnp
     import numpy as np

@@ -85,8 +85,9 @@ def main(argv=None):
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from ..core.backend import configure_compilation_cache
+
+    configure_compilation_cache()
 
     if args.mode == "vio-sim":
         return run_vio_sim(args)

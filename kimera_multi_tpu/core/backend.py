@@ -27,3 +27,20 @@ def kernel_path() -> str:
     surfaced by bench.py and the e2e stats (observability of the hot
     path)."""
     return "pallas" if is_tpu() else "xla"
+
+
+def configure_compilation_cache() -> str:
+    """Enable the persistent compilation cache with a BACKEND-SPECIFIC
+    directory. TPU and CPU runs must not share one cache: CPU AOT blobs
+    compiled on the relay host carry machine features the local CPU lacks
+    (cpu_aot_loader warns about possible SIGILL), and a concurrent
+    TPU bench once corrupted an entry mid-write for a CPU reader.
+    Returns the chosen directory."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    d = os.path.join(root, ".jax_cache" if is_tpu() else ".jax_cache_cpu")
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return d
