@@ -38,6 +38,15 @@ def main(argv=None):
                         "standard ASL layout flows VIO -> distributed LCD "
                         "-> PGO (BASELINE.json config 4: multi-session as "
                         "pseudo-multi-robot)")
+    p.add_argument("--backend", choices=["single", "sharded"],
+                   default="single",
+                   help="vio-sim/euroc: run the back-end on the single "
+                        "device (robust_pgo) or as shard_map rounds over "
+                        "the robot device mesh — the reference's "
+                        "distributed topology (per-robot VIO feeding the "
+                        "distributed dpgo back-end, "
+                        "examples/1014-example.yaml:50-97). The sim modes "
+                        "select this via --mode sim / sim-sharded.")
     p.add_argument("--robots", type=int, default=2)
     p.add_argument("--steps", type=int, default=60)
     p.add_argument("--features", type=int, default=96)
@@ -100,11 +109,9 @@ def run_sim(args):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..core import lie, rng as rngmod, stiefel
-    from ..eval import ape as ape_mod
     from ..frontend import dlc, vocab as vocab_mod
-    from ..io import logs, sim_world
-    from ..solve import pgo, rbcd, robust
+    from ..io import sim_world
+    from ..solve import pgo
 
     t_start = time.time()
     print(f"[run] building world: {args.robots} robots x {args.steps} steps",
@@ -198,119 +205,10 @@ def run_sim(args):
             return pgo.PgoParams(R=jnp.concatenate(Rs),
                                  t=jnp.concatenate(ts))
 
-    params0 = pgo.init_from_odometry(edges, args.robots, ppr)
-
     print("[run] back-end optimization...", file=sys.stderr)
-    if args.mode == "sim-sharded":
-        from ..dist import mesh as mesh_mod, rounds
-        from ..solve import pcm
-        from ..core.containers import EDGE_SHARED_LC
-
-        # PCM consensus decides inter-robot frames before lifting (same
-        # pipeline as solve.robust.robust_pgo)
-        params_w, consensus, _ok = pcm.robot_frame_init(
-            edges, params0, args.robots, ppr)
-        shared = edges.valid & (edges.etype == EDGE_SHARED_LC)
-        w0 = jnp.where(shared & ~consensus, 0.0,
-                       jnp.ones(edges.capacity))
-        ylift = stiefel.random_lifting_matrix(
-            rngmod.derive(rngmod.base_key(args.seed), rngmod.Stream.LIFTING),
-            5, 3)
-        Y0 = rbcd.lift_params(params_w, ylift, args.robots, ppr)
-        m = mesh_mod.robot_mesh(args.robots)
-        rcfg = rbcd.RbcdConfig()
-        round_fn = rounds.make_round_fn(m, edges, ppr, rcfg,
-                                        weight_update_every=2,
-                                        burnin_rounds=8)
-        if args.resume:
-            from ..dist import checkpoint as ckpt_mod
-
-            state = ckpt_mod.load(args.resume, mesh=m)
-            print(f"[run] resumed from {args.resume} at round "
-                  f"{int(state.round_idx)}", file=sys.stderr)
-        else:
-            state = rounds.init_state(m, Y0, jnp.ones(args.robots, bool),
-                                      edges, ppr, init_weights=w0)
-        # bytes_received measured from the compiled round's HLO collectives
-        # (reference counter: mTotalBytesReceived, drawio:2355); analytic
-        # model as fallback
-        try:
-            comm_bytes = rounds.measured_round_comm_bytes(
-                round_fn, state, rcfg.inner_iters)
-        except Exception as e:
-            print(f"[run] HLO comm-byte measurement failed ({e}); "
-                  f"using analytic model", file=sys.stderr)
-            comm_bytes = rounds.round_comm_bytes(Y0.shape, rcfg.inner_iters)
-        dpgo_rows = []
-        dump_idx = 0
-        profile_ctx = None
-        if getattr(args, "profile", None):
-            # run-time trace of the e2e optimization rounds (XLA device
-            # profile, viewable in TensorBoard / xprof — the tracing tier
-            # of SURVEY §5)
-            import jax.profiler as _prof
-
-            profile_ctx = _prof.trace(args.profile)
-            profile_ctx.__enter__()
-            print(f"[run] profiling rounds -> {args.profile}",
-                  file=sys.stderr)
-        for i in range(args.gnc_rounds):
-            t0 = time.time()
-            state, cost = round_fn(state)
-            dpgo_rows.append(dict(
-                robot_id=0, instance=0, iteration=i,
-                num_poses=args.robots * ppr,
-                bytes_received=comm_bytes * (i + 1),
-                iteration_time_sec=time.time() - t0,
-                total_time_sec=time.time() - t_start,
-                rel_change=0.0, func_decrease=float(cost), grad_norm=0.0,
-                num_active_robots=args.robots))
-            if (i + 1) % args.dump_every == 0:
-                # periodic trajectory dumps (logTimerCallback equivalent)
-                _dump_round_trajectories(args, world, state, dump_idx,
-                                         expand_fn, ppr)
-                dump_idx += 1
-                if args.checkpoint:
-                    from ..dist import checkpoint as ckpt_mod
-
-                    ckpt_mod.save(args.checkpoint, state)
-        if profile_ctx is not None:
-            import jax
-
-            jax.block_until_ready(state.Y)
-            profile_ctx.__exit__(None, None, None)
-            print(f"[run] profile trace written to {args.profile}",
-                  file=sys.stderr)
-        R_all, t_all = stiefel.round_solution(
-            state.Y.reshape(-1, state.Y.shape[2], state.Y.shape[3]), 3)
-        weights = state.gnc_state.weights
-        # gauge-normalize (pose 0 -> identity, matching the GN anchor),
-        # then a final SE(3) polish after rank-lifted rounding (dpgo also
-        # refines the rounded solution before publishing)
-        Rg, tg = lie.se3_inverse(R_all[0], t_all[0])
-        n_all = R_all.shape[0]
-        R_all, t_all = lie.se3_compose(
-            jnp.broadcast_to(Rg, (n_all, 3, 3)),
-            jnp.broadcast_to(tg, (n_all, 3)), R_all, t_all)
-        params = pgo.gauss_newton(
-            pgo.PgoParams(R=R_all, t=t_all), edges, weights, ppr,
-            gn_iters=5, cg_iters=40)
-        if getattr(args, "chain_refine", False):
-            t_new = _chain_refine(params, edges, args.robots, ppr, weights)
-            params = pgo.PgoParams(R=params.R, t=t_new)
-            print("[run] chain-refine: translations re-solved "
-                  "sequence-parallel over the device mesh", file=sys.stderr)
-    else:
-        params, gstate = robust.robust_pgo(
-            params0, edges, ppr, gnc_outer_iters=args.gnc_rounds)
-        weights = gstate.weights
-        dpgo_rows = [dict(robot_id=0, instance=0, iteration=i,
-                          num_poses=args.robots * args.steps,
-                          bytes_received=0, iteration_time_sec=0.0,
-                          total_time_sec=time.time() - t_start,
-                          rel_change=0.0, func_decrease=0.0, grad_norm=0.0,
-                          num_active_robots=args.robots)
-                     for i in range(1)]
+    params, weights, dpgo_rows = _optimize_backend(
+        args, edges, args.robots, ppr, world, expand_fn, t_start,
+        sharded=(args.mode == "sim-sharded"))
 
     # expand submap anchors back to keyframes before logging
     # (processOptimizedPath, drawio:234-240)
@@ -323,6 +221,138 @@ def run_sim(args):
         write_artifacts(args, world, params)
     return dict(ape=results, n_opt_poses=args.robots * ppr,
                 n_keyframes=args.robots * args.steps)
+
+
+def _optimize_backend(args, edges, n_robots, ppr, world, expand_fn,
+                      t_start, sharded):
+    """Run the robust PGO back-end over `edges` and return
+    (params, weights, dpgo_rows).
+
+    sharded=True is the reference's distributed topology — per-robot VIO
+    feeding a DISTRIBUTED back-end (examples/1014-example.yaml:50-97):
+    shard_map RBCD rounds over the robot device mesh with periodic
+    trajectory dumps, checkpoints, measured comm bytes, optional
+    profiling and chain-refine. sharded=False is the single-device
+    robust_pgo (the reference's kimera_rpgo single-process role). Every
+    entry mode (sim, sim-sharded, vio-sim, euroc) routes through here, so
+    recorded/VIO data reaches the same sharded code path as the
+    synthetic sim (VERDICT r3 item 4)."""
+    import jax.numpy as jnp
+
+    from ..core import lie, rng as rngmod, stiefel
+    from ..solve import pgo, rbcd, robust
+
+    params0 = pgo.init_from_odometry(edges, n_robots, ppr)
+    if not sharded:
+        params, gstate = robust.robust_pgo(
+            params0, edges, ppr, gnc_outer_iters=args.gnc_rounds)
+        dpgo_rows = [dict(robot_id=0, instance=0, iteration=0,
+                          num_poses=n_robots * ppr,
+                          bytes_received=0, iteration_time_sec=0.0,
+                          total_time_sec=time.time() - t_start,
+                          rel_change=0.0, func_decrease=0.0, grad_norm=0.0,
+                          num_active_robots=n_robots)]
+        return params, gstate.weights, dpgo_rows
+
+    from ..core.containers import EDGE_SHARED_LC
+    from ..dist import mesh as mesh_mod, rounds
+    from ..solve import pcm
+
+    # PCM consensus decides inter-robot frames before lifting (same
+    # pipeline as solve.robust.robust_pgo)
+    params_w, consensus, _ok = pcm.robot_frame_init(
+        edges, params0, n_robots, ppr)
+    shared = edges.valid & (edges.etype == EDGE_SHARED_LC)
+    w0 = jnp.where(shared & ~consensus, 0.0,
+                   jnp.ones(edges.capacity))
+    ylift = stiefel.random_lifting_matrix(
+        rngmod.derive(rngmod.base_key(args.seed), rngmod.Stream.LIFTING),
+        5, 3)
+    Y0 = rbcd.lift_params(params_w, ylift, n_robots, ppr)
+    m = mesh_mod.robot_mesh(n_robots)
+    rcfg = rbcd.RbcdConfig()
+    round_fn = rounds.make_round_fn(m, edges, ppr, rcfg,
+                                    weight_update_every=2,
+                                    burnin_rounds=8)
+    if getattr(args, "resume", None):
+        from ..dist import checkpoint as ckpt_mod
+
+        state = ckpt_mod.load(args.resume, mesh=m)
+        print(f"[run] resumed from {args.resume} at round "
+              f"{int(state.round_idx)}", file=sys.stderr)
+    else:
+        state = rounds.init_state(m, Y0, jnp.ones(n_robots, bool),
+                                  edges, ppr, init_weights=w0)
+    # bytes_received measured from the compiled round's HLO collectives
+    # (reference counter: mTotalBytesReceived, drawio:2355); analytic
+    # model as fallback
+    try:
+        comm_bytes = rounds.measured_round_comm_bytes(
+            round_fn, state, rcfg.inner_iters)
+    except Exception as e:
+        print(f"[run] HLO comm-byte measurement failed ({e}); "
+              f"using analytic model", file=sys.stderr)
+        comm_bytes = rounds.round_comm_bytes(Y0.shape, rcfg.inner_iters)
+    dpgo_rows = []
+    dump_idx = 0
+    profile_ctx = None
+    if getattr(args, "profile", None):
+        # run-time trace of the e2e optimization rounds (XLA device
+        # profile, viewable in TensorBoard / xprof — the tracing tier
+        # of SURVEY §5)
+        import jax.profiler as _prof
+
+        profile_ctx = _prof.trace(args.profile)
+        profile_ctx.__enter__()
+        print(f"[run] profiling rounds -> {args.profile}",
+              file=sys.stderr)
+    for i in range(args.gnc_rounds):
+        t0 = time.time()
+        state, cost = round_fn(state)
+        dpgo_rows.append(dict(
+            robot_id=0, instance=0, iteration=i,
+            num_poses=n_robots * ppr,
+            bytes_received=comm_bytes * (i + 1),
+            iteration_time_sec=time.time() - t0,
+            total_time_sec=time.time() - t_start,
+            rel_change=0.0, func_decrease=float(cost), grad_norm=0.0,
+            num_active_robots=n_robots))
+        if (i + 1) % args.dump_every == 0:
+            # periodic trajectory dumps (logTimerCallback equivalent)
+            _dump_round_trajectories(args, world, state, dump_idx,
+                                     expand_fn, ppr)
+            dump_idx += 1
+            if getattr(args, "checkpoint", None):
+                from ..dist import checkpoint as ckpt_mod
+
+                ckpt_mod.save(args.checkpoint, state)
+    if profile_ctx is not None:
+        import jax
+
+        jax.block_until_ready(state.Y)
+        profile_ctx.__exit__(None, None, None)
+        print(f"[run] profile trace written to {args.profile}",
+              file=sys.stderr)
+    R_all, t_all = stiefel.round_solution(
+        state.Y.reshape(-1, state.Y.shape[2], state.Y.shape[3]), 3)
+    weights = state.gnc_state.weights
+    # gauge-normalize (pose 0 -> identity, matching the GN anchor),
+    # then a final SE(3) polish after rank-lifted rounding (dpgo also
+    # refines the rounded solution before publishing)
+    Rg, tg = lie.se3_inverse(R_all[0], t_all[0])
+    n_all = R_all.shape[0]
+    R_all, t_all = lie.se3_compose(
+        jnp.broadcast_to(Rg, (n_all, 3, 3)),
+        jnp.broadcast_to(tg, (n_all, 3)), R_all, t_all)
+    params = pgo.gauss_newton(
+        pgo.PgoParams(R=R_all, t=t_all), edges, weights, ppr,
+        gn_iters=5, cg_iters=40)
+    if getattr(args, "chain_refine", False):
+        t_new = _chain_refine(params, edges, n_robots, ppr, weights)
+        params = pgo.PgoParams(R=params.R, t=t_new)
+        print("[run] chain-refine: translations re-solved "
+              "sequence-parallel over the device mesh", file=sys.stderr)
+    return params, weights, dpgo_rows
 
 
 class _VioWorld:
@@ -354,7 +384,6 @@ def run_vio_sim(args):
     from ..core import lie
     from ..frontend import batched as batched_mod, dlc, vocab as vocab_mod
     from ..io import render as render_mod
-    from ..solve import pgo, robust
     from ..vio import pipeline as vio_pipeline
     from ..vio.undistort import CameraModel
 
@@ -452,12 +481,9 @@ def run_vio_sim(args):
         t_odo[r] = np.einsum("kji,kj->ki", Ra[:-1], ta[1:] - ta[:-1])
 
     edges = fe.build_pose_graph(R_odo, t_odo)
-    params0 = pgo.init_from_odometry(edges, Rn, T)
-    print("[run] back-end optimization...", file=sys.stderr)
-    params, gstate = robust.robust_pgo(params0, edges, T,
-                                       gnc_outer_iters=args.gnc_rounds)
 
-    # GT at keyframe times (for the APE contract)
+    # GT at keyframe times (for the APE contract); built BEFORE the
+    # back-end so sharded-mode round dumps can slice world.timestamps
     gt_idx = np.clip(np.searchsorted(seq.timestamps, ts_kf), 0,
                      F_total - 1)
     world = _VioWorld(
@@ -465,6 +491,14 @@ def run_vio_sim(args):
         t_gt=seq.t_gt[gt_idx],
         R_gt=seq.R_gt[gt_idx],
         R_odo=R_odo, t_odo=t_odo)
+
+    args.steps = T  # round dumps + write_logs slice by T
+    sharded = getattr(args, "backend", "single") == "sharded"
+    print(f"[run] back-end optimization "
+          f"({'sharded robot-mesh rounds' if sharded else 'single device'})"
+          "...", file=sys.stderr)
+    params, weights, dpgo_rows = _optimize_backend(
+        args, edges, Rn, T, world, None, t_start, sharded=sharded)
 
     # ---- loop-closure image evidence (extract_lc_images equivalent) ---
     if getattr(args, "lc_images", None) is not None:
@@ -488,16 +522,7 @@ def run_vio_sim(args):
         print(f"[run] lc image evidence: {len(paths)} annotated pairs "
               f"-> {args.log_dir}/lc_images", file=sys.stderr)
 
-    args_logged = args
-    args_logged.steps = T  # write_logs slices by T
-    results = write_logs(args_logged, world, fe, params,
-                         gstate.weights, [dict(
-                             robot_id=0, instance=0, iteration=0,
-                             num_poses=Rn * T, bytes_received=0,
-                             iteration_time_sec=0.0,
-                             total_time_sec=time.time() - t_start,
-                             rel_change=0.0, func_decrease=0.0,
-                             grad_norm=0.0, num_active_robots=Rn)])
+    results = write_logs(args, world, fe, params, weights, dpgo_rows)
     return dict(ape=results, n_keyframes=Rn * T,
                 n_loops=len(fe.loops), n_inter_loops=n_inter,
                 frontend_stats=stats)
@@ -519,7 +544,6 @@ def run_euroc(args):
     from ..core import lie
     from ..frontend import batched as batched_mod, dlc, vocab as vocab_mod
     from ..io import convert as convert_mod
-    from ..solve import pgo, robust
 
     if not args.euroc_roots:
         raise SystemExit("--mode euroc requires --euroc-roots")
@@ -527,6 +551,13 @@ def run_euroc(args):
     Rn = len(args.euroc_roots)
     streams = []
     for r, root in enumerate(args.euroc_roots):
+        # .bag roots are extracted to an ASL tree first (io/rosbag.py) —
+        # the reference's rosbag replay tier (mit_rosbag.launch,
+        # examples/1014-example.yaml:92-97)
+        root = convert_mod.resolve_session_root(
+            root, os.path.join(args.log_dir, "bags"), r,
+            max_frames=args.steps or None,
+            log=lambda m: print(f"[run] {m}", file=sys.stderr))
         obs, sess, (R_kf, t_kf) = convert_mod.euroc_to_observations(
             root, max_frames=args.steps or None,
             log=lambda m: print(f"[run] {m}", file=sys.stderr))
@@ -562,19 +593,18 @@ def run_euroc(args):
         t_odo[r] = np.einsum("kji,kj->ki", Ra[:-1], ta[1:] - ta[:-1])
 
     edges = fe.build_pose_graph(R_odo, t_odo)
-    params0 = pgo.init_from_odometry(edges, Rn, T)
-    print("[run] back-end optimization...", file=sys.stderr)
-    params, gstate = robust.robust_pgo(params0, edges, T,
-                                       gnc_outer_iters=args.gnc_rounds)
 
-    # GT at keyframe times, from the sessions' state_groundtruth files
+    # GT at keyframe times, from the sessions' state_groundtruth files.
+    # Robots whose session carries no GT get gt_mask False — write_logs
+    # then SKIPS the APE for them instead of printing a misleading number
+    # against an identity/zero placeholder.
     R_gt = np.broadcast_to(np.eye(3, dtype=np.float32),
                            (Rn, T, 3, 3)).copy()
     t_gt = np.zeros((Rn, T, 3), np.float32)
-    have_gt = True
+    gt_mask = [True] * Rn
     for r, (_, sess, _, _) in enumerate(streams):
         if len(sess.gt_ts) == 0:
-            have_gt = False
+            gt_mask[r] = False
             continue
         gi = np.clip(np.searchsorted(sess.gt_ts, ts_kf[r]), 0,
                      len(sess.gt_ts) - 1)
@@ -585,14 +615,14 @@ def run_euroc(args):
                       R_odo=R_odo, t_odo=t_odo)
     args.steps = T
     args.robots = Rn
-    results = write_logs(args, world, fe, params, gstate.weights, [dict(
-        robot_id=0, instance=0, iteration=0, num_poses=Rn * T,
-        bytes_received=0, iteration_time_sec=0.0,
-        total_time_sec=time.time() - t_start, rel_change=0.0,
-        func_decrease=0.0, grad_norm=0.0, num_active_robots=Rn)])
-    if not have_gt:
-        print("[run] (no ground truth in some sessions; APE vs GT only "
-              "partially meaningful)", file=sys.stderr)
+    sharded = getattr(args, "backend", "single") == "sharded"
+    print(f"[run] back-end optimization "
+          f"({'sharded robot-mesh rounds' if sharded else 'single device'})"
+          "...", file=sys.stderr)
+    params, weights, dpgo_rows = _optimize_backend(
+        args, edges, Rn, T, world, None, t_start, sharded=sharded)
+    results = write_logs(args, world, fe, params, weights, dpgo_rows,
+                         gt_mask=gt_mask)
     return dict(ape=results, n_keyframes=Rn * T, n_loops=len(fe.loops),
                 n_inter_loops=n_inter)
 
@@ -682,7 +712,7 @@ def _dump_round_trajectories(args, world, state, dump_idx, expand_fn=None,
             world.timestamps[r], np.asarray(t_all[sl]), q)
 
 
-def write_logs(args, world, fe, params, weights, dpgo_rows):
+def write_logs(args, world, fe, params, weights, dpgo_rows, gt_mask=None):
     import jax.numpy as jnp
     import numpy as np
 
@@ -751,7 +781,13 @@ def write_logs(args, world, fe, params, weights, dpgo_rows):
         logs.write_dpgo_log_csv(
             os.path.join(rdir, "distributed", "dpgo_log_0.csv"), dpgo_rows)
 
-        # APE vs GT (the evo_real_time.py equivalent)
+        # APE vs GT (the evo_real_time.py equivalent); suppressed when
+        # this robot has no ground truth — an APE against a placeholder
+        # identity/zero GT is misleading, not "partially meaningful"
+        if gt_mask is not None and not gt_mask[r]:
+            print(f"[run] robot {r}: no ground truth in session; "
+                  "APE suppressed", file=sys.stderr)
+            continue
         res = ape_mod.ape(
             t_est, R_est, jnp.asarray(world.t_gt[r]),
             jnp.asarray(world.R_gt[r]), align=True)

@@ -145,19 +145,44 @@ def convert_sessions(roots: list, out_dir: str, cfg=None,
     return out
 
 
+def resolve_session_root(root: str, work_dir: str, robot: int,
+                         max_frames: int | None = None,
+                         log=print) -> str:
+    """Accepts either an EuRoC ASL directory or a .bag file; bags are
+    extracted into work_dir/bag_robot<k>/ as an ASL tree first
+    (io/rosbag.py), so every downstream consumer sees one format."""
+    if root.endswith(".bag") and os.path.isfile(root):
+        from . import rosbag as rosbag_mod
+
+        out_root = os.path.join(work_dir, f"bag_robot{robot}")
+        return rosbag_mod.rosbag_to_asl(root, out_root,
+                                        max_frames=max_frames, log=log)
+    return root
+
+
 def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser(
-        description="Convert EuRoC session trees to replay observation "
-                    "streams (obs_robot<k>.npz) + GT TUM")
-    p.add_argument("--euroc", action="append", required=True,
+        description="Convert EuRoC session trees OR rosbag1 files to "
+                    "replay observation streams (obs_robot<k>.npz) + "
+                    "GT TUM")
+    p.add_argument("--euroc", action="append", default=[],
                    help="EuRoC session root (one per robot, repeatable)")
+    p.add_argument("--bag", action="append", default=[],
+                   help="rosbag1 file (one per robot, repeatable; "
+                        "sensor_msgs Image/Imu + nav_msgs Odometry GT)")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--max-frames", type=int, default=None)
     args = p.parse_args(argv)
-    convert_sessions(args.euroc, args.out, max_frames=args.max_frames,
-                     log=lambda m: print(m, file=sys.stderr))
+    roots = list(args.euroc)
+    log = lambda m: print(m, file=sys.stderr)  # noqa: E731
+    for b in args.bag:
+        roots.append(resolve_session_root(
+            b, args.out, len(roots), max_frames=args.max_frames, log=log))
+    if not roots:
+        p.error("need at least one --euroc or --bag")
+    convert_sessions(roots, args.out, max_frames=args.max_frames, log=log)
     return 0
 
 
