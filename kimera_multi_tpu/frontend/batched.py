@@ -61,16 +61,39 @@ class DetectOutputs(NamedTuple):
 
 
 def make_detector(n_robots: int, n_steps: int, cfg: FrontendConfig,
-                  n_candidates: int = 1):
+                  n_candidates: int = 1, db_block: int | None = None):
     """Builds the jitted detection scan.
 
     Inputs at call time: per-frame packed BoW vectors for the whole run
     (ids/weights (R, T, W), sorted query copies, kf_valid (R, T)).
+
+    Capacity discipline (campus envelope, VERDICT r3 item 5). Per scan
+    step every query robot scores every target robot's database — compute
+    is O(R^2 * T * W * log2 W) per step, O(R^2 * T^2 * W * log2 W) per
+    run; this is the batched-dense equivalent of the reference's
+    inverted-index sweep (`max_db_results` top-k over the whole DB,
+    LcdParams.yaml:5) and is inherent to full-database loop search. What
+    must NOT grow with T is the LIVE memory: the naive step materializes
+    O(R^2 * T * W) searchsorted/hit/min intermediates (at 6 robots x
+    6,000 kf x W=128 that is ~110 MB per intermediate, several live at
+    once). `db_block` processes the target-frame axis in fixed-size
+    blocks via `lax.map`, bounding live intermediates to
+    O(R^2 * db_block * W) (~4.7 MB per intermediate at block 256)
+    regardless of run length; the (R, T, W) BoW database itself is the
+    only O(T) device residency (6 x 6,000 x 128 ids+weights = 37 MB).
+    Default: auto — unblocked for T <= 512 (test/e2e scale, identical
+    program to previous rounds), block 512 above. Blocking is a pure
+    reorganization of the same arithmetic; scores are identical
+    (tests/test_detect_scale.py asserts equality vs unblocked).
     """
     R, T = n_robots, n_steps
     params = cfg.lcd
     C = n_candidates
     window = params.recent_frames_window
+    if db_block is None:
+        db_block = T if T <= 512 else 512
+    n_blocks = -(-T // db_block)
+    Tp = n_blocks * db_block
 
     def step(carry, xs):
         (db_ids, db_w, db_valid, prev_ids, prev_w, prev_ok,
@@ -101,7 +124,21 @@ def make_detector(n_robots: int, n_steps: int, cfg: FrontendConfig,
 
         def score_q_vs_t(qi, qw, ti, tw, tv, bnd):
             mask = tv & (frame_idx < bnd)
-            return bow_kernel.l1_scores(qi, qw, ti, tw, mask)
+            if n_blocks == 1:
+                return bow_kernel.l1_scores(qi, qw, ti, tw, mask)
+            # blocked DB sweep: fixed-size chunks of the target-frame axis
+            # keep live intermediates at O(db_block * W) per (query,
+            # target) pair independent of T (see capacity note above)
+            pad = Tp - T
+            tib = jnp.pad(ti, ((0, pad), (0, 0)),
+                          constant_values=-1).reshape(n_blocks, db_block, -1)
+            twb = jnp.pad(tw, ((0, pad), (0, 0))).reshape(
+                n_blocks, db_block, -1)
+            mb = jnp.pad(mask, (0, pad)).reshape(n_blocks, db_block)
+            out = jax.lax.map(
+                lambda args: bow_kernel.l1_scores(qi, qw, *args),
+                (tib, twb, mb))
+            return out.reshape(Tp)[:T]
 
         # (R query, R target, T) raw L1 scores — one batched pass
         scores = jax.vmap(
@@ -223,7 +260,7 @@ class BatchedFrontend:
 
     def __init__(self, n_robots: int, n_steps: int, vocab,
                  cfg: FrontendConfig, n_candidates: int = 1,
-                 verify_chunk: int = 1024):
+                 verify_chunk: int = 1024, db_block: int | None = None):
         self.cfg = cfg
         self.n_robots = n_robots
         self.n_steps = n_steps
@@ -234,7 +271,8 @@ class BatchedFrontend:
         self.lcd_attempts: list[VerifiedLC] = []
         self.bow_overflow = 0
         self.stats: dict = {}
-        self._detect = make_detector(n_robots, n_steps, cfg, n_candidates)
+        self._detect = make_detector(n_robots, n_steps, cfg, n_candidates,
+                                     db_block=db_block)
         self._verify = make_verifier(cfg)
         W = cfg.bow_capacity
 
@@ -254,35 +292,46 @@ class BatchedFrontend:
         self._bow_all = bow_all
 
     # ------------------------------------------------------------------
-    def process_all(self, descriptors, bearings, landmarks, obs_valid,
-                    query_robots=None):
-        """Run the full front-end over a recorded/simulated run.
+    def compute_bows(self, descriptors, obs_valid):
+        """Packed BoW vectors for every frame (ids, weights, sorted query
+        copies, overflow count) — the locally-computable half a DCN pod
+        streams to its peers (only the pod's OWN robots' descriptors need
+        to be present; other rows are ignored by the caller)."""
+        ids, weights, qids, qw, ovf = self._bow_all(
+            jnp.asarray(descriptors), jnp.asarray(obs_valid))
+        return (np.asarray(ids), np.asarray(weights), np.asarray(qids),
+                np.asarray(qw), int(np.asarray(ovf).sum()))
 
-        descriptors (R, T, K, 32) uint8; bearings/landmarks (R, T, K, 3);
-        obs_valid (R, T, K). Populates self.loops / self.lcd_attempts in
-        the sequential path's iteration order; returns timing stats.
+    def detect_candidates(self, descriptors=None, obs_valid=None,
+                          query_robots=None, bows=None, kf_valid=None):
+        """DETECT phase: BoW scoring scan + candidate compaction.
 
-        query_robots: optional iterable of robot ids — verify only
-        candidates whose QUERY robot is in the set. This is how a DCN pod
-        partitions verification work: each pod verifies its own robots'
-        detections against the fleet-wide database (the reference's
-        per-robot verification thread does the same), and the other pods'
-        committed loops arrive as edges over the wire (cli/pod.py)."""
-        cfg = self.cfg
+        Either pass raw `descriptors`/`obs_valid` (BoWs computed here —
+        the single-process path) or precomputed `bows` = (ids, weights)
+        (R, T, W) plus `kf_valid` (R, T) — the DCN-pod path, where remote
+        robots' BoW vectors arrived over the wire (dist/dcn.py
+        stream_bow_exchange) and raw descriptors are NOT available.
+
+        Stores the compacted candidate list on self and returns
+        (rr, kk, tt, mm): query robot, query frame, target robot, target
+        frame arrays — the frames a verifier must hold VLC data for."""
         t0 = time.perf_counter()
-        desc = jnp.asarray(descriptors)
-        bear = jnp.asarray(bearings)
-        lm = jnp.asarray(landmarks)
-        ov = jnp.asarray(obs_valid)
-        kf_valid = np.asarray(obs_valid).any(axis=-1)
-
-        ids, weights, qids, qw, ovf = self._bow_all(desc, ov)
+        if bows is not None:
+            ids, weights = (jnp.asarray(bows[0]), jnp.asarray(bows[1]))
+            sq, sw = jax.vmap(jax.vmap(bow_kernel.sort_bow))(ids, weights)
+            qids, qw = sq, sw
+            kf_valid = np.asarray(kf_valid)
+        else:
+            desc = jnp.asarray(descriptors)
+            ov = jnp.asarray(obs_valid)
+            kf_valid = np.asarray(obs_valid).any(axis=-1)
+            ids, weights, qids, qw, ovf = self._bow_all(desc, ov)
+            self.bow_overflow = int(np.asarray(ovf).sum())
         out, _db = self._detect(ids, weights, qids, qw,
                                 jnp.asarray(kf_valid))
         det = np.asarray(out.detected)
         match = np.asarray(out.match)
         score = np.asarray(out.score)
-        self.bow_overflow = int(np.asarray(ovf).sum())
         t_detect = time.perf_counter() - t0
 
         # --- the single host round-trip: compact detected candidates in
@@ -295,12 +344,27 @@ class BatchedFrontend:
         kk, rr, tt, cc = kk[order], rr[order], tt[order], cc[order]
         mm = match[kk, rr, tt, cc]
         ss = score[kk, rr, tt, cc]
-        B = len(kk)
+        self._cand = (kk, rr, tt, mm, ss)
         self.stats.update(n_keyframes=int(kf_valid.sum()),
-                          n_candidates=B, t_detect=t_detect)
+                          n_candidates=len(kk), t_detect=t_detect)
+        return rr, kk, tt, mm
+
+    def verify_candidates(self, descriptors, bearings, landmarks,
+                          obs_valid):
+        """VERIFY phase over the candidates from `detect_candidates`.
+        The stores must hold VLC data for every candidate's query AND
+        target frame (a DCN pod fetches missing target frames on demand
+        first — dist/dcn.py vlc_request_exchange)."""
+        kk, rr, tt, mm, ss = self._cand
+        B = len(kk)
         if B == 0:
             self.stats.update(t_verify=0.0, verifications_per_s=0.0)
             return self.stats
+        cfg = self.cfg
+        desc = jnp.asarray(descriptors)
+        bear = jnp.asarray(bearings)
+        lm = jnp.asarray(landmarks)
+        ov = jnp.asarray(obs_valid)
 
         # Verify in FIXED-SIZE chunks (capacity discipline, SURVEY §7.4):
         # bounds the live (chunk, K) match/score intermediates regardless
@@ -361,6 +425,27 @@ class BatchedFrontend:
             if lc.accepted:
                 self.loops.append(lc)
         return self.stats
+
+    def process_all(self, descriptors, bearings, landmarks, obs_valid,
+                    query_robots=None):
+        """Run the full front-end over a recorded/simulated run:
+        `detect_candidates` + `verify_candidates` back to back (the
+        single-process path, where all VLC data is already local).
+
+        descriptors (R, T, K, 32) uint8; bearings/landmarks (R, T, K, 3);
+        obs_valid (R, T, K). Populates self.loops / self.lcd_attempts in
+        the sequential path's iteration order; returns timing stats.
+
+        query_robots: optional iterable of robot ids — verify only
+        candidates whose QUERY robot is in the set. This is how a DCN pod
+        partitions verification work: each pod verifies its own robots'
+        detections against the fleet-wide database (the reference's
+        per-robot verification thread does the same), and the other pods'
+        committed loops arrive as edges over the wire (cli/pod.py)."""
+        self.detect_candidates(descriptors, obs_valid,
+                               query_robots=query_robots)
+        return self.verify_candidates(descriptors, bearings, landmarks,
+                                      obs_valid)
 
     def build_pose_graph(self, R_odo, t_odo, edge_capacity=None):
         return build_pose_graph_from_loops(
