@@ -7,25 +7,41 @@ examples/1014-example.yaml:50-97 runs one such process per robot). The
 intra-pod compute is the usual TPU path; everything BETWEEN pods crosses
 a real process boundary over dist/dcn.py (native TCP wire format).
 
-Protocol per run (bulk-synchronous, matching the reference's phases):
+Protocol per run (bulk-synchronous rounds, matching the reference's
+phases). Two exchange disciplines for the front-end data:
 
-  round 0  VLC exchange     each pod broadcasts its robots' keyframe
-                            frames (descriptors/bearings/landmarks) —
-                            the BoW-vector + VLC-frame publishing tier
-                            (kimera_vio_jackal.launch:41-43)
-  round 1  edge exchange    each pod detects fleet-wide but VERIFIES only
-                            its own robots' queries, then broadcasts its
-                            odometry + committed loop edges
-                            (request_pose_graph / loop-closure traffic)
-  rounds 2..2+N  dpgo       per-round: local bucketed block-Newton deltas
-                            for owned robots, DCN all-gather of the delta
-                            blocks, replicated chord-exact global step +
-                            periodic GNC reweighting — dpgo_ros's UPDATE
-                            rounds with pose traffic over the wire
-                            (images/kimera-multi.drawio:2325-2355)
-  final    hash barrier     pods exchange a digest of the rounded
-                            solution and assert bit-identical consensus,
-                            then write their own robots' TUM logs + APE.
+  --exchange stream (default — the deployment traffic pattern,
+                     images/kimera-multi.drawio:271-391)
+    vocab round      rank 0 builds the vocabulary from its own sensing
+                     and broadcasts it (stand-in for the shared
+                     mit_voc.yml every robot loads at launch)
+    stream rounds    per round each pod publishes AT MOST bow_batch BoW
+                     vectors of keyframes produced so far, skipping every
+                     bow_skip-th (bow_batch_size / bow_skip_num,
+                     launch/kimera_vio_jackal.launch:13-14); per-round
+                     byte counts are bounded and logged
+    gap-fill         pods request the BoW vectors still missing
+                     (request_bow_vectors); a late-joining robot
+                     (--late-robot) is recovered entirely here
+    detect           fleet-wide BoW scoring on the streamed database
+    vlc on demand    only the VLC frames that verification candidates
+                     actually reference cross the wire
+                     (vlc_frame_request), then each pod verifies its own
+                     robots' queries
+  --exchange bulk  (round 0: one-shot VLC broadcast of every keyframe,
+                     then fleet-wide detect + own-query verify — the
+                     round-3 protocol, kept for A/B comparison)
+
+  edge exchange    each pod broadcasts its odometry + committed loop
+                   edges (request_pose_graph / loop-closure traffic)
+  dpgo rounds      per-round: local bucketed block-Newton deltas for
+                   owned robots, DCN all-gather of the delta blocks,
+                   replicated chord-exact global step + periodic GNC
+                   reweighting — dpgo_ros's UPDATE rounds with pose
+                   traffic over the wire (drawio:2325-2355)
+  hash barrier     pods exchange a digest of the rounded solution and
+                   assert bit-identical consensus, then write their own
+                   robots' TUM logs + APE.
 
 Launch (2 pods x 2 robots):
   python -m kimera_multi_tpu.cli.pod --rank 0 --pods 2 --robots 4 ... &
@@ -60,6 +76,22 @@ def main(argv=None):
     p.add_argument("--port-base", type=int, default=47600)
     p.add_argument("--rounds", type=int, default=30)
     p.add_argument("--log-dir", default="/tmp/kmt_pod_logs")
+    p.add_argument("--exchange", choices=["stream", "bulk"],
+                   default="stream",
+                   help="front-end data exchange: incremental BoW "
+                        "streaming + on-demand VLC (deployment pattern) "
+                        "or one-shot VLC broadcast")
+    p.add_argument("--bow-chunk", type=int, default=4,
+                   help="keyframe steps 'produced' per stream round")
+    p.add_argument("--bow-batch", type=int, default=16,
+                   help="bow_batch_size: max BoW vectors published per "
+                        "stream round")
+    p.add_argument("--bow-skip", type=int, default=0,
+                   help="bow_skip_num: publish every (skip+1)-th BoW; "
+                        "the rest only on request")
+    p.add_argument("--late-robot", type=int, default=-1,
+                   help="simulate this robot joining late: its BoWs are "
+                        "never streamed, only gap-filled")
     args = p.parse_args(argv)
 
     import jax
@@ -103,35 +135,98 @@ def main(argv=None):
         lm[r] = world.landmarks_local[r]
         ovalid[r] = world.obs_valid[r]
 
-    # ---- round 0: VLC frame exchange ---------------------------------
-    for r in own:
-        for t in range(T):
-            fabric.send_vlc(r, t, desc[r, t], bear[r, t], lm[r, t],
-                            ovalid[r, t])
-    fabric.end_batch(0)
-    got = fabric.collect(0, max_feats=K)
-    for f in got["vlc"]:
-        r, t = f["robot"], f["frame"]
-        n = f["n"]
-        desc[r, t, :n] = f["descriptors"]
-        bear[r, t, :n] = f["bearings"]
-        lm[r, t, :n] = f["landmarks"]
-        ovalid[r, t, :n] = f["valid"]
-    sent0, recv0 = fabric.bytes_counters()
-    log(rank, f"VLC exchange done: {len(got['vlc'])} frames received "
-              f"({recv0/1e6:.2f} MB in, {sent0/1e6:.2f} MB out)")
-
-    # ---- front-end: detect fleet-wide, verify own queries only --------
-    corpus = desc[ovalid].reshape(-1, 32)
-    sub = corpus[:: max(1, len(corpus) // 4000)]
-    voc = vocab_mod.build_vocabulary(sub, k=8, depth=3, seed=args.seed)
     cfg = dlc.FrontendConfig(base_seed=args.seed)
-    fe = batched.BatchedFrontend(R, T, voc, cfg)
-    stats = fe.process_all(desc, bear, lm, ovalid, query_robots=own)
+    own_set = set(own)
+    rnd = 0
+    bow_round_bytes: list[int] = []
+
+    if args.exchange == "bulk":
+        # ---- one-shot VLC broadcast (round-3 protocol) ----------------
+        for r in own:
+            for t in range(T):
+                fabric.send_vlc(r, t, desc[r, t], bear[r, t], lm[r, t],
+                                ovalid[r, t])
+        fabric.end_batch(rnd)
+        got = fabric.collect(rnd, max_feats=K)
+        rnd += 1
+        for f in got["vlc"]:
+            r, t = f["robot"], f["frame"]
+            n = f["n"]
+            desc[r, t, :n] = f["descriptors"]
+            bear[r, t, :n] = f["bearings"]
+            lm[r, t, :n] = f["landmarks"]
+            ovalid[r, t, :n] = f["valid"]
+        sent0, recv0 = fabric.bytes_counters()
+        log(rank, f"VLC exchange done: {len(got['vlc'])} frames received "
+                  f"({recv0/1e6:.2f} MB in, {sent0/1e6:.2f} MB out)")
+
+        # front-end: detect fleet-wide, verify own queries only
+        corpus = desc[ovalid].reshape(-1, 32)
+        sub = corpus[:: max(1, len(corpus) // 4000)]
+        voc = vocab_mod.build_vocabulary(sub, k=8, depth=3, seed=args.seed)
+        fe = batched.BatchedFrontend(R, T, voc, cfg)
+        stats = fe.process_all(desc, bear, lm, ovalid, query_robots=own)
+    else:
+        # ---- incremental streaming exchange (deployment pattern) ------
+        # vocab round: rank 0 builds from its own sensing, broadcasts
+        # (stand-in for the shared mit_voc.yml file of the reference)
+        if rank == 0:
+            corpus = desc[ovalid].reshape(-1, 32)
+            sub = corpus[:: max(1, len(corpus) // 4000)]
+            voc = vocab_mod.build_vocabulary(sub, k=8, depth=3,
+                                             seed=args.seed)
+            for i, c in enumerate(voc.centroids):
+                fabric.send_tensor(900 + i, np.asarray(c))
+            for i, nv in enumerate(voc.node_valid):
+                fabric.send_tensor(920 + i, np.asarray(nv, np.uint8))
+            fabric.send_tensor(
+                940, np.asarray(voc.word_weights, np.float32))
+            fabric.send_ctrl(dcn.CTRL_HASH, rnd,
+                             value=voc.k * 1000 + voc.depth)
+        fabric.end_batch(rnd)
+        got = fabric.collect(rnd)
+        rnd += 1
+        if rank != 0:
+            kd = [c.value for c in got["ctrl"]
+                  if c.kind == dcn.CTRL_HASH and c.sender == 0][0]
+            k_v, depth_v = kd // 1000, kd % 1000
+            tens = {t.tag: t.array for t in got["tensors"]
+                    if t.sender == 0}
+            voc = vocab_mod.Vocabulary(
+                k=k_v, depth=depth_v,
+                centroids=tuple(jnp.asarray(tens[900 + i])
+                                for i in range(depth_v)),
+                word_weights=jnp.asarray(tens[940]),
+                node_valid=tuple(jnp.asarray(tens[920 + i].astype(bool))
+                                 for i in range(depth_v)))
+        log(rank, "vocabulary shared (rank-0 broadcast)")
+
+        fe = batched.BatchedFrontend(R, T, voc, cfg)
+        ids, wts, _qi, _qw, _ovf = fe.compute_bows(desc, ovalid)
+        kfv = ovalid.any(-1)
+        withhold = ((lambda r: r == args.late_robot)
+                    if args.late_robot >= 0 else None)
+        ids, wts, have, bow_round_bytes, rnd = dcn.stream_bow_exchange(
+            fabric, own, kfv, ids, wts, rnd,
+            chunk=args.bow_chunk, batch_size=args.bow_batch,
+            skip=args.bow_skip, withhold=withhold,
+            log=lambda m: log(rank, m))
+
+        rr, kk, tt, mm = fe.detect_candidates(
+            bows=(ids, wts), kf_valid=have, query_robots=own)
+        # on-demand VLC: only candidate target frames not owned locally
+        pairs = sorted({(int(t), int(f)) for t, f in zip(tt, mm)
+                        if int(t) not in own_set})
+        rnd = dcn.vlc_request_exchange(
+            fabric, own,
+            np.asarray(pairs, np.int32).reshape(-1, 2),
+            desc, bear, lm, ovalid, rnd, log=lambda m: log(rank, m))
+        stats = fe.verify_candidates(desc, bear, lm, ovalid)
+
     log(rank, f"front-end: {stats['n_candidates']} own-query candidates, "
               f"{len(fe.loops)} committed loops")
 
-    # ---- round 1: edge exchange ---------------------------------------
+    # ---- edge exchange -------------------------------------------------
     local_edges = dlc.build_pose_graph_from_loops(
         fe.loops, world.R_odo[own], world.t_odo[own], cfg)
     # build_pose_graph_from_loops indexes odometry rows 0..len(own)-1;
@@ -146,8 +241,10 @@ def main(argv=None):
     local_edges = local_edges.replace(src_robot=jnp.asarray(sr),
                                       dst_robot=jnp.asarray(dr))
     fabric.send_edges(local_edges)
-    fabric.end_batch(1)
-    got = fabric.collect(1, max_edges=int(local_edges.capacity) * pods * 2)
+    fabric.end_batch(rnd)
+    got = fabric.collect(rnd,
+                         max_edges=int(local_edges.capacity) * pods * 2)
+    rnd += 1
     # Deterministic merge: the fabric attributes each edge batch to its
     # sender pod at the transport layer (connection handshake), so the
     # merge order is independent of the robot->pod ownership function —
@@ -162,6 +259,9 @@ def main(argv=None):
 
     # ---- distributed PGO over DCN --------------------------------------
     ppr = args.steps
+    # dpgo-phase traffic is reported as a delta from this point (the
+    # exchange phases above already logged their own byte counts)
+    sent0, recv0 = fabric.bytes_counters()
     params0 = pgo.init_from_odometry(edges, R, ppr)
     params_w, consensus, _ok = pcm.robot_frame_init(edges, params0, R, ppr)
     shared = edges.valid & (edges.etype == EDGE_SHARED_LC)
@@ -207,7 +307,7 @@ def main(argv=None):
     for i in range(args.rounds):
         dl = np.asarray(owned_deltas(jnp.asarray(Y), gstate.weights))
         deltas_all = fabric.allgather_tensor(
-            tag=100 + i, rnd=2 + i, local=dl,
+            tag=100 + i, rnd=rnd + i, local=dl,
             pod_of_part=lambda r: r % pods, n_parts=R)
         Yj, cost = global_step(jnp.asarray(Y), jnp.asarray(deltas_all),
                                gstate.weights)
@@ -242,9 +342,9 @@ def main(argv=None):
         + np.asarray(params.t, np.float32).tobytes()
         + np.asarray(gstate.weights, np.float32).tobytes())
     wire_digest = digest - (1 << 32) if digest >= (1 << 31) else digest
-    fabric.send_ctrl(dcn.CTRL_HASH, 2 + args.rounds, value=wire_digest)
-    fabric.end_batch(2 + args.rounds)
-    got = fabric.collect(2 + args.rounds)
+    fabric.send_ctrl(dcn.CTRL_HASH, rnd + args.rounds, value=wire_digest)
+    fabric.end_batch(rnd + args.rounds)
+    got = fabric.collect(rnd + args.rounds)
     peer_digests = {c.sender: c.value for c in got["ctrl"]
                     if c.kind == dcn.CTRL_HASH}
     agree = all(v == wire_digest for v in peer_digests.values())
@@ -276,6 +376,9 @@ def main(argv=None):
         "agree": bool(agree), "digest": int(digest),
         "final_cost": float(cost),
         "ape_rmse": ape_vals,
+        "exchange": args.exchange,
+        "n_loops": len(fe.loops),
+        "bow_round_bytes": bow_round_bytes,
         "dcn_bytes_sent": int(sent), "dcn_bytes_received": int(recv),
         "wall_s": round(time.time() - t_start, 1)}), flush=True)
     fabric.close()

@@ -241,3 +241,68 @@ def test_two_process_pods_reach_bitwise_consensus(tmp_path):
         tum = tmp_path / f"robot{r}" / "distributed" / \
             f"kimera_distributed_poses_tum_{r}.tum"
         assert tum.exists()
+
+
+def _run_pod_fleet(tmp_path, base, extra_args, tag):
+    """Launch a 2-pod fleet (subprocesses) and return both JSON outputs."""
+    env = dict(os.environ,
+               PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               PYTHONPATH="/root/repo")
+    procs = []
+    for rank in range(2):
+        out_f = open(tmp_path / f"{tag}_pod{rank}.out", "w+")
+        err_f = open(tmp_path / f"{tag}_pod{rank}.err", "w+")
+        procs.append((subprocess.Popen(
+            [sys.executable, "-m", "kimera_multi_tpu.cli.pod",
+             "--rank", str(rank), "--pods", "2", "--robots", "4",
+             "--steps", "16", "--features", "48", "--rounds", "8",
+             "--port-base", str(base), "--log-dir",
+             str(tmp_path / tag)] + extra_args,
+            stdout=out_f, stderr=err_f, env=env), out_f, err_f))
+    outs = []
+    for p, out_f, err_f in procs:
+        rc = p.wait(timeout=360)
+        out_f.seek(0)
+        err_f.seek(0)
+        assert rc == 0, err_f.read()[-2000:]
+        outs.append(json.loads(out_f.read().strip().splitlines()[-1]))
+        out_f.close()
+        err_f.close()
+    return outs
+
+
+def test_stream_late_join_converges_with_bounded_rounds(tmp_path):
+    """Incremental-exchange deployment pattern (VERDICT r3 item 7):
+
+    * per-STREAM-round sent bytes are bounded by the bow_batch budget
+      (bow_batch_size semantics, kimera_vio_jackal.launch:13-14);
+    * a late-joining robot (its BoWs never streamed) plus a skip budget
+      (every 2nd BoW withheld) is fully recovered by the gap-fill
+      request/response phase: the fleet converges to the BIT-IDENTICAL
+      solution of an unthrottled streamed run.
+    """
+    base1 = _port_base(700)
+    base2 = _port_base(900)
+    full = _run_pod_fleet(tmp_path, base1, [], "full")
+    late = _run_pod_fleet(
+        tmp_path, base2, ["--bow-skip", "1", "--late-robot", "1"], "late")
+
+    for outs in (full, late):
+        assert outs[0]["agree"] and outs[1]["agree"]
+        assert outs[0]["digest"] == outs[1]["digest"]
+    # late-join recovery: identical solution across the two protocols
+    assert late[0]["digest"] == full[0]["digest"]
+    assert late[0]["n_loops"] + late[1]["n_loops"] == \
+        full[0]["n_loops"] + full[1]["n_loops"]
+
+    # bandwidth budget: every stream round (all but the final gap-fill
+    # entry) bounded by bow_batch * per-vector bytes + terminator slack.
+    # W = 128 ids (4 B) + weights (4 B) + 21 B framing/payload header.
+    per_vec = 21 + 8 * 128
+    budget = 16 * per_vec + 64
+    for outs in (full, late):
+        for o in outs:
+            rb = o["bow_round_bytes"]
+            assert len(rb) >= 2
+            assert all(b <= budget for b in rb[:-1]), (rb, budget)
