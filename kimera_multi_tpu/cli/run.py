@@ -22,6 +22,7 @@ Outputs under --log-dir follow the reference contract (SURVEY.md section 5):
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -333,6 +334,27 @@ def _optimize_backend(args, edges, n_robots, ppr, world, expand_fn,
         profile_ctx.__exit__(None, None, None)
         print(f"[run] profile trace written to {args.profile}",
               file=sys.stderr)
+        # reduce the xplane trace to the op-level summary the perf
+        # claims cite (no TensorBoard in deployment) and log the top ops
+        try:
+            from ..eval import xplane as xplane_mod
+
+            summary = xplane_mod.summarize(args.profile, top=10)
+            spath = os.path.join(args.profile, "profile_summary.json")
+            with open(spath, "w") as f:
+                json.dump(summary, f, indent=1)
+            for plane in summary["planes"]:
+                if not plane["top_ops"]:
+                    continue
+                top3 = ", ".join(
+                    f"{o['name']} {o['total_ms']}ms"
+                    for o in plane["top_ops"][:3])
+                print(f"[run] profile {plane['name']}: "
+                      f"{plane['total_event_ms']}ms events; top: {top3}",
+                      file=sys.stderr)
+            print(f"[run] profile summary -> {spath}", file=sys.stderr)
+        except Exception as e:
+            print(f"[run] profile summary failed: {e}", file=sys.stderr)
     R_all, t_all = stiefel.round_solution(
         state.Y.reshape(-1, state.Y.shape[2], state.Y.shape[3]), 3)
     weights = state.gnc_state.weights
