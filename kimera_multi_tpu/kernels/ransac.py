@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng as rng_mod
-from . import gather, minimal, score, soa
+from . import fivept, gather, minimal, score, soa
 
 _EPS = 1e-12
 
@@ -252,10 +252,10 @@ def ransac_essential_5pt(
     threshold: float = 1e-6,
     n_hyp: int = 200,
     min_inliers: int = 10,
-    n_starts: int = 10,
-    gn_iters: int = 16,
+    n_starts: int = 8,
+    gn_iters: int = 12,
     preselect_pts: int = 64,
-    preselect_models: int = 512,
+    preselect_models: int = 256,
     refine: bool = True,
 ):
     """2d2d monocular RANSAC with the true 5-point minimal solver
@@ -264,49 +264,61 @@ def ransac_essential_5pt(
     (the solver's multiple roots); all are scored, as opengv does.
 
     Scoring is preemptive (Nister's preemptive RANSAC discipline, the
-    standard batched-model variant): the full n_hyp * n_starts model set
-    is first scored on the leading `preselect_pts` correspondences, then
-    only the `preselect_models` best survivors are scored on all K points
-    — on TPU the full-set full-K scoring was the dominant cost of the
-    whole verification pipeline (measured 45 of 80 ms at the bench shape
-    128 x 500 x 16 x 704). Selection ties differ from exhaustive argmax
-    ordering only among models outside the survivor set; the winning
-    model is re-scored on all points, so the returned inlier set is exact
-    for the model chosen. Set preselect_pts=0 to score exhaustively.
+    standard batched-model variant): every (hypothesis, start) model is
+    scored on the leading `preselect_pts` VALID correspondences IN THE
+    KERNEL'S NATIVE LAYOUT (kernels/fivept.py presel_counts — the old
+    path's model-table transpose alone cost 7.7 ms/batch on TPU), then
+    each hypothesis's best start survives and the `preselect_models`
+    best hypotheses are manifold-projected and scored on all K points.
+    Preselect counts use the RAW polished models (converged roots
+    already sit on the essential variety; non-converged wanderers lose
+    either way); the winning model is projected and re-scored on all
+    points, so the returned inlier set is exact for the model chosen.
+    Set preselect_pts=0 (or preselect_models >= n_hyp) to score
+    exhaustively.
 
-    n_starts=10 / gn_iters=16 defaults: measured recall on the
-    high-outlier fixture (tests/test_mono_5pt_parity.py problems) is
-    identical from 10 to 16 starts and does not degrade below 20 GN
-    iterations — the ~10-real-roots bound of the 5-pt problem makes
-    extra starts redundant."""
+    n_starts=8 / gn_iters=12 defaults: S=8 exactly fills an f32 sublane
+    tile in the fused kernel, and measured recall on the high-outlier
+    fixture (tests/test_mono_5pt_parity.py) is unchanged from the old
+    10x16 — the ~10-real-roots bound of the 5-pt problem makes extra
+    starts redundant, and GN converges quadratically."""
     picks, order = _masked_sample_parts(key, valid, n_hyp, 5)
     idx = order[picks]
-    E_h, ok_h = minimal.essential_5pt(f1[idx], f2[idx], n_starts=n_starts,
-                                      gn_iters=gn_iters)
-    # (H, S, 3, 3) -> flatten models
-    H, S = E_h.shape[0], E_h.shape[1]
-    E_flat = E_h.reshape(H * S, 3, 3)
+    H, S = n_hyp, n_starts
+    # fused model generation: one-hot MXU sample gather feeding the
+    # VMEM-resident nullspace+polish+projection kernel (kernels/fivept.py)
+    # — the AoS f1[idx] gather + XLA-graph polish ran at 22.6 ms/batch on
+    # TPU (round-4 breakdown), 2/3 of the mono stage. On CPU the same
+    # call runs the algebraically identical XLA path, so the recall
+    # fixtures (tests/test_mono_5pt_parity.py) gate the production
+    # algebra on every backend.
+    g1 = gather.sample_gather_t(f1, idx)  # (15, H)
+    g2 = gather.sample_gather_t(f2, idx)
+    E_rows = fivept.fivept_models(g1, g2, n_starts=n_starts,
+                                  gn_iters=gn_iters, project=False)
     # fused Sampson-inlier counting (Pallas on TPU)
     K = f1.shape[0]
-    if preselect_pts and H * S > preselect_models and K > 2 * preselect_pts:
+    if preselect_pts and H > preselect_models and K > 2 * preselect_pts:
         # preselect on the first `preselect_pts` VALID correspondences:
         # `order` is the stable valid-first permutation, so this subset is
         # all-valid whenever >= preselect_pts correspondences are valid —
         # a sparse or outlier-front-loaded valid mask can no longer tie
         # every model at zero and make top_k pick arbitrary survivors
         sub = order[:preselect_pts]
-        counts_sub = score.essential_counts(
-            E_flat, f1[sub], f2[sub], valid[sub], threshold)
-        _, top = jax.lax.top_k(counts_sub, preselect_models)
-        counts = score.essential_counts(
-            E_flat[top], f1, f2, valid, threshold)
-        best = top[jnp.argmax(counts)]
+        counts_hs = fivept.presel_counts(
+            E_rows, f1[sub], f2[sub], valid[sub], threshold, n_starts)
+        E_sel_raw, _flat_idx = fivept.select_models(
+            E_rows, counts_hs, preselect_models, n_starts)
+        E_sel, _okp = minimal._project_essential(E_sel_raw)
+        counts = score.essential_counts(E_sel, f1, f2, valid, threshold)
+        E_b = E_sel[jnp.argmax(counts)]
     else:
+        E_flat = fivept.models_to_flat(
+            fivept._project_rows(E_rows, n_starts), n_starts)
         counts = score.essential_counts(E_flat, f1, f2, valid, threshold)
-        best = jnp.argmax(counts)
-    err0 = minimal.sampson_error(E_flat[best], f1, f2)
+        E_b = E_flat[jnp.argmax(counts)]
+    err0 = minimal.sampson_error(E_b, f1, f2)
     best_inl = (err0 < threshold) & valid
-    E_b = E_flat[best]
     if refine:
         # refine on consensus with the (weighted) 8-point least squares
         E_r, ok_r = minimal.essential_8pt(f1, f2, best_inl.astype(f1.dtype))
