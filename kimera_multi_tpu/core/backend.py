@@ -29,18 +29,51 @@ def kernel_path() -> str:
     return "pallas" if is_tpu() else "xla"
 
 
+def cpu_cache_fingerprint() -> str:
+    """Stable tag for CPU-executable cache compatibility: the host's CPU
+    feature set plus whether compiles go through the remote relay.
+
+    A CPU cache entry is an AOT-compiled executable for a SPECIFIC
+    machine feature set. Entries compiled via the axon relay (its compile
+    service runs on different hardware) and loaded locally are what
+    crashed three rounds of full-suite runs (SIGSEGV inside
+    compilation_cache.get_executable_and_time — cpu_aot_loader's
+    'could lead to execution errors such as SIGILL' warning made real).
+    Keying the cache directory by this tag makes such loads impossible."""
+    import hashlib
+    import os
+    import platform
+
+    feat = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feat = line.strip()
+                    break
+    except OSError:
+        pass
+    relay = "relay" if os.environ.get("PALLAS_AXON_POOL_IPS") else "local"
+    h = hashlib.sha1(
+        (platform.machine() + feat + relay).encode()).hexdigest()[:10]
+    return h
+
+
 def configure_compilation_cache() -> str:
-    """Enable the persistent compilation cache with a BACKEND-SPECIFIC
-    directory. TPU and CPU runs must not share one cache: CPU AOT blobs
-    compiled on the relay host carry machine features the local CPU lacks
-    (cpu_aot_loader warns about possible SIGILL), and a concurrent
-    TPU bench once corrupted an entry mid-write for a CPU reader.
-    Returns the chosen directory."""
+    """Enable the persistent compilation cache with a BACKEND- and
+    MACHINE-SPECIFIC directory. TPU and CPU runs must not share one
+    cache, and CPU caches must not be shared across machine feature sets
+    or compile routes (see cpu_cache_fingerprint) — mixed entries
+    produced the round-3/4 full-suite SIGSEGVs. Returns the directory."""
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    d = os.path.join(root, ".jax_cache" if is_tpu() else ".jax_cache_cpu")
+    if is_tpu():
+        d = os.path.join(root, ".jax_cache")
+    else:
+        d = os.path.join(root,
+                         f".jax_cache_cpu_{cpu_cache_fingerprint()}")
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return d

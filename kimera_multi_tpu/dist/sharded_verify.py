@@ -45,10 +45,12 @@ def make_sharded_arun(mesh, n_hyp: int = 512, threshold: float = 0.3,
         # Solve + score use the SAME helpers as the single-chip
         # ransac_arun — per-hypothesis arithmetic is batch-independent,
         # so the sharded counts are bitwise equal to the full-table ones.
-        picks_full, order = ransac._masked_sample_parts(key, valid, n_hyp, 3)
+        picks_full, order, inv_order = ransac._masked_sample_parts(
+            key, valid, n_hyp, 3)
         s = jax.lax.axis_index(SHARD_AXIS)
         picks = jax.lax.dynamic_slice_in_dim(picks_full, s * h_local, h_local)
-        R_h, t_h, ok_h = ransac.solve_arun_hyps(p, q, picks, order)
+        R_h, t_h, ok_h = ransac.solve_arun_hyps(p, q, picks, order,
+                                                inv_order)
         counts = score.rigid_counts(R_h, t_h, p, q, valid, threshold) * ok_h
         best_local = jnp.argmax(counts)
         # gather per-shard winners; the global argmax ties broken by shard

@@ -172,7 +172,10 @@ def fivept_models(f1s: jnp.ndarray, f2s: jnp.ndarray, n_starts: int = 8,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pad = (-H) % _TILE_H
+    # bigger hypothesis tiles = fewer grid steps (the polish working set
+    # is ~50 live (S, tile) arrays — well under VMEM even at 512 lanes)
+    tile = 512 if H > 256 else _TILE_H
+    pad = (-H) % tile
     if pad:
         f1s = jnp.pad(f1s, ((0, 0), (0, pad)))
         f2s = jnp.pad(f2s, ((0, 0), (0, pad)))
@@ -180,14 +183,14 @@ def fivept_models(f1s: jnp.ndarray, f2s: jnp.ndarray, n_starts: int = 8,
     out = pl.pallas_call(
         functools.partial(_fivept_kernel, n_starts=n_starts,
                           gn_iters=gn_iters),
-        grid=(Hp // _TILE_H,),
+        grid=(Hp // tile,),
         in_specs=[
-            pl.BlockSpec((15, _TILE_H), lambda h: (0, h),
+            pl.BlockSpec((15, tile), lambda h: (0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((15, _TILE_H), lambda h: (0, h),
+            pl.BlockSpec((15, tile), lambda h: (0, h),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((9 * n_starts, _TILE_H), lambda h: (0, h),
+        out_specs=pl.BlockSpec((9 * n_starts, tile), lambda h: (0, h),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((9 * n_starts, Hp), jnp.float32),
         interpret=interpret,

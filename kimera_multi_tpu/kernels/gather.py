@@ -31,16 +31,38 @@ def _use_pallas() -> bool:
     return is_tpu()
 
 
-def _sample_gather_kernel(picksT_ref, dataT_ref, out_ref, *, k: int, D: int):
+def _sample_gather_kernel(picksT_ref, data_ref, out_ref, *, k: int, D: int):
     picksT = picksT_ref[...]  # (k, TH) int32
-    dataT = dataT_ref[...]  # (D, K) f32
-    K = dataT.shape[1]
+    data = data_ref[...]  # (K, D) f32 — NATURAL layout; the contraction
+    # below transposes on the MXU, so the caller never materializes
+    # data.T (those per-candidate transpose copies were ~25% of the
+    # verification batch in the round-4 device profile)
+    K = data.shape[0]
     TH = picksT.shape[1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (K, TH), 0)
     for m in range(k):
         ohT = (iota == picksT[m:m + 1, :]).astype(jnp.float32)  # (K, TH)
         res = jax.lax.dot_general(
-            dataT, ohT, dimension_numbers=(((1,), (0,)), ((), ())),
+            data, ohT, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (D, TH)
+        out_ref[m * D:(m + 1) * D, :] = res
+
+
+def _sample_gather_perm_kernel(picksT_ref, data_ref, invp_ref, out_ref,
+                               *, k: int, D: int):
+    """Fused permutation+sample gather: row j is selected for pick value
+    v when inv_perm[j] == v — i.e. out = data[perm[picks]] without ever
+    materializing perm[picks] (a (H, k) scalar gather that profiled at
+    3.3 ms/batch) or data[perm] (a (K, D) row gather per candidate)."""
+    picksT = picksT_ref[...]   # (k, TH) int32
+    data = data_ref[...]       # (K, D) f32
+    invp = invp_ref[...]       # (K, 1) int32 — inverse permutation
+    TH = picksT.shape[1]
+    for m in range(k):
+        ohT = (invp == picksT[m:m + 1, :]).astype(jnp.float32)  # (K, TH)
+        res = jax.lax.dot_general(
+            data, ohT, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (D, TH)
         out_ref[m * D:(m + 1) * D, :] = res
@@ -62,7 +84,8 @@ def sample_gather_t(data: jnp.ndarray, picks: jnp.ndarray,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pad = (-H) % _TILE_H
+    tile = 512 if H > 256 else _TILE_H
+    pad = (-H) % tile
     picksT = picks.T  # (k, H)
     if pad:
         picksT = jnp.pad(picksT, ((0, 0), (0, pad)))
@@ -70,15 +93,62 @@ def sample_gather_t(data: jnp.ndarray, picks: jnp.ndarray,
 
     out = pl.pallas_call(
         functools.partial(_sample_gather_kernel, k=k, D=D),
-        grid=(Hp // _TILE_H,),
+        grid=(Hp // tile,),
         in_specs=[
-            pl.BlockSpec((k, _TILE_H), lambda h: (0, h),
+            pl.BlockSpec((k, tile), lambda h: (0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k * D, _TILE_H), lambda h: (0, h),
+        out_specs=pl.BlockSpec((k * D, tile), lambda h: (0, h),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k * D, Hp), jnp.float32),
         interpret=interpret,
-    )(picksT, data.T)
+    )(picksT, data)
+    return out[:, :H]
+
+
+def sample_gather_perm_t(data: jnp.ndarray, picks: jnp.ndarray,
+                         order: jnp.ndarray, inv_order: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Permuted minimal-sample gather, hypothesis-minor.
+
+    Equivalent to sample_gather_t(data[order], order-composed picks) but
+    with the permutation folded into the one-hot compare (TPU) so
+    neither data[order] nor order[picks] is ever materialized.
+
+    data: (K, D); picks: (H, k) indices into the PERMUTED space;
+    order: (K,) the permutation (used by the XLA fallback);
+    inv_order: (K,) its inverse (inv_order[order[j]] == j).
+    Returns (k * D, H): out[m * D + i, h] = data[order[picks[h, m]], i].
+    """
+    H, k = picks.shape
+    K, D = data.shape
+    if not (_use_pallas() or interpret):
+        g = data[order[picks]]
+        return jnp.moveaxis(g, 0, -1).reshape(k * D, H)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tile = 512 if H > 256 else _TILE_H
+    pad = (-H) % tile
+    picksT = picks.T
+    if pad:
+        picksT = jnp.pad(picksT, ((0, 0), (0, pad)))
+    Hp = picksT.shape[1]
+
+    out = pl.pallas_call(
+        functools.partial(_sample_gather_perm_kernel, k=k, D=D),
+        grid=(Hp // tile,),
+        in_specs=[
+            pl.BlockSpec((k, tile), lambda h: (0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1), lambda h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k * D, tile), lambda h: (0, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k * D, Hp), jnp.float32),
+        interpret=interpret,
+    )(picksT, data, inv_order.astype(jnp.int32)[:, None])
     return out[:, :H]

@@ -111,17 +111,33 @@ def knn2_lowe_match_batch(desc_q, valid_q, desc_t, valid_t, lowe_ratio=0.7):
 # ---------------------------------------------------------------------------
 
 
-def _pair_top2_kernel(qb_ref, tbT_ref, rt_ref, d1_ref, d2_ref, i1_ref):
-    qb = qb_ref[...]  # (Kq, 256) bf16 bits
-    tbT = tbT_ref[...]  # (256, Kt) bf16 bits, pre-transposed (Mosaic wants
-    # the contraction on lhs-minor x rhs-major)
-    rt = rt_ref[...]  # (1, Kt) f32 row sums (huge for invalid cols)
+def _pair_top2_kernel(dq_ref, dt_ref, vt_ref, d1_ref, d2_ref, i1_ref):
+    """Inputs are the RAW packed uint8 descriptors; bits unpack in VMEM.
+
+    Materializing the unpacked (C, K, 256) bf16 bit arrays in HBM (then
+    copying one of them transposed) moved ~100 MB per verification batch
+    at a measured ~50 GB/s effective — most of the match stage. The raw
+    descriptors are 2.8 MB. The in-kernel unpack emits bit columns in
+    bit-major order (all bytes' bit 0, then bit 1, ...) which is a fixed
+    permutation of the reference layout — Hamming distances are
+    permutation-invariant, so results are identical."""
+    dq = dq_ref[...].astype(jnp.int32)  # (Kq, 32) packed bytes
+    dt = dt_ref[...].astype(jnp.int32)  # (Kt, 32)
+    vt = vt_ref[...]  # (1, Kt) f32 valid flags
+    qb = jnp.concatenate(
+        [((dq >> b) & 1) for b in range(8)], axis=1).astype(jnp.bfloat16)
+    tb = jnp.concatenate(
+        [((dt >> b) & 1) for b in range(8)], axis=1).astype(jnp.bfloat16)
     rq = jnp.sum(qb.astype(jnp.float32), axis=-1, keepdims=True)
+    # invalid/padded target columns get a huge additive term, taking
+    # them out of both top-2 slots (matches the XLA path's masking)
+    rt = (jnp.sum(tb.astype(jnp.float32), axis=-1)[None, :]
+          + (1.0 - vt) * 1e9)
     # precision=DEFAULT: {0,1} bf16 bits with f32 accumulation are exact,
     # and Mosaic rejects bf16 MXU ops under the package-wide HIGHEST
     # default (it would need a multi-pass decomposition)
     ab = jax.lax.dot_general(
-        qb, tbT, dimension_numbers=(((1,), (0,)), ((), ())),
+        qb, tb, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     )
@@ -135,15 +151,17 @@ def _pair_top2_kernel(qb_ref, tbT_ref, rt_ref, d1_ref, d2_ref, i1_ref):
     i1_ref[...] = i1
 
 
-def _pair_top2(bits_q, bits_tT, rt):
-    """Single-pair top-2 search; bits_q: (Kq, 256), bits_tT: (256, Kt)
-    bf16, rt: (1, Kt) f32. Returns (d1 (Kq,), d2 (Kq,), i1 (Kq,))."""
+def _pair_top2(desc_q, desc_t, vt, interpret=False):
+    """Single-pair top-2 search; desc_q: (Kq, 32) uint8, desc_t:
+    (Kt, 32) uint8, vt: (1, Kt) f32 valid flags. Returns
+    (d1 (Kq,), d2 (Kq,), i1 (Kq,))."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    Kq = bits_q.shape[0]
+    Kq = desc_q.shape[0]
     outs = pl.pallas_call(
         _pair_top2_kernel,
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -159,7 +177,7 @@ def _pair_top2(bits_q, bits_tT, rt):
             jax.ShapeDtypeStruct((Kq, 1), jnp.float32),
             jax.ShapeDtypeStruct((Kq, 1), jnp.int32),
         ],
-    )(bits_q, bits_tT, rt)
+    )(desc_q, desc_t, vt)
     return outs[0][:, 0], outs[1][:, 0], outs[2][:, 0]
 
 
@@ -170,6 +188,7 @@ def knn2_lowe_match_pairs(
     valid_t: jnp.ndarray,
     lowe_ratio: float = 0.7,
     max_distance: int = 256,
+    interpret: bool = False,
 ):
     """Batched pair matching — reference semantics of `knn2_lowe_match`
     over a candidate axis: desc_* (C, K, 32) uint8, valid_* (C, K).
@@ -179,7 +198,7 @@ def knn2_lowe_match_pairs(
     path. Returns (match_idx (C, Kq) int32 — -1 if rejected; d1 (C, Kq)
     int32, clipped to the XLA path's 512 no-match sentinel).
     """
-    if not _is_tpu_backend():
+    if not (_is_tpu_backend() or interpret):
         fn = jax.vmap(lambda dq, vq, dt, vt: knn2_lowe_match(
             dq, vq, dt, vt, lowe_ratio, max_distance=max_distance))
         return fn(desc_q, valid_q, desc_t, valid_t)
@@ -194,15 +213,10 @@ def knn2_lowe_match_pairs(
     if pad_t:
         desc_t = jnp.pad(desc_t, ((0, 0), (0, pad_t), (0, 0)))
         valid_t = jnp.pad(valid_t, ((0, 0), (0, pad_t)))
-    bits_q = unpack_bits(desc_q).astype(jnp.bfloat16)
-    bits_t = unpack_bits(desc_t).astype(jnp.bfloat16)
-    # invalid/padded target columns get a huge additive term, taking them
-    # out of both top-2 slots (the XLA path masks them to 512 — decisions
-    # below are identical because real distances are <= 256)
-    rt = jnp.sum(bits_t.astype(jnp.float32), axis=-1)
-    rt = jnp.where(valid_t, rt, 1e9)[:, None, :]  # (C, 1, Ktp)
-
-    d1, d2, i1 = jax.vmap(_pair_top2)(bits_q, jnp.swapaxes(bits_t, 1, 2), rt)
+    vt = valid_t.astype(jnp.float32)[:, None, :]  # (C, 1, Ktp)
+    d1, d2, i1 = jax.vmap(
+        lambda a, b, c: _pair_top2(a, b, c, interpret=interpret)
+    )(desc_q, desc_t, vt)
     ok = (
         valid_q
         & (d1 < lowe_ratio * d2)

@@ -27,12 +27,15 @@ _EPS = 1e-12
 def _masked_sample_parts(key, valid: jnp.ndarray, n_hyp: int, k: int):
     """Floyd k-subset sampling over the valid entries, split into
     (picks (n_hyp, k) int32 into the valid-first permutation,
-     order (n,) int32 — the permutation itself).
+     order (n,) int32 — the permutation itself,
+     inv_order (n,) int32 — its inverse, computed ANALYTICALLY from the
+     valid mask by cumulative counts, no second sort).
 
-    Callers gather sample data as x[order][picks] (one (n,)-row
-    permutation gather + one lane-major pick gather) instead of composing
-    index arrays — the (n_hyp, k) int gather `order[picks]` was a
-    measurable fraction of verification time on TPU.
+    Callers gather sample data through the fused permutation gather
+    (gather.sample_gather_perm_t with inv_order) — materializing either
+    `order[picks]` or `x[order]` was a measurable slice of verification
+    time on TPU (the (n_hyp, k) int gather alone profiled at 3.3
+    ms/batch in round 4).
 
     Floyd: draw t_j ~ U[0, m-k+j] for j = 0..k-1 over the valid count m;
     if t_j collides with an earlier pick, substitute m-k+j. O(k^2)
@@ -44,6 +47,12 @@ def _masked_sample_parts(key, valid: jnp.ndarray, n_hyp: int, k: int):
     m = jnp.sum(valid).astype(jnp.int32)  # number of valid entries
     # positions of valid entries first, in original order (one stable sort)
     order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
+    # inverse permutation in closed form: a valid j ranks by the number
+    # of valid entries at or before it; an invalid j ranks after all m
+    # valid ones by its position among the invalid
+    cv = jnp.cumsum(valid.astype(jnp.int32))
+    cnv = jnp.cumsum((~valid).astype(jnp.int32))
+    inv_order = jnp.where(valid, cv - 1, m + cnv - 1).astype(jnp.int32)
     u = jax.random.uniform(key, (n_hyp, k))
     picks = jnp.zeros((n_hyp, k), jnp.int32)
     for j in range(k):
@@ -57,13 +66,13 @@ def _masked_sample_parts(key, valid: jnp.ndarray, n_hyp: int, k: int):
         t = jnp.where(coll, m - k + j, t)
         picks = picks.at[:, j].set(t)
     picks = jnp.clip(picks, 0, n - 1)
-    return picks, order.astype(jnp.int32)
+    return picks, order.astype(jnp.int32), inv_order
 
 
 def _masked_sample(key, valid: jnp.ndarray, n_hyp: int, k: int) -> jnp.ndarray:
     """(n_hyp, k) distinct indices drawn only from valid positions
     (composed form of `_masked_sample_parts`)."""
-    picks, order = _masked_sample_parts(key, valid, n_hyp, k)
+    picks, order, _inv = _masked_sample_parts(key, valid, n_hyp, k)
     return order[picks].astype(jnp.int32)
 
 
@@ -82,31 +91,41 @@ def _gather_samples(data, picks):
     return [[g[m * 3 + i] for i in range(3)] for m in range(k)]
 
 
-def solve_arun_hyps(p, q, picks, order):
+def _gather_samples_perm(data, picks, order, inv_order):
+    """Fused-permutation variant of `_gather_samples`: gathers
+    data[order[picks]] without materializing either index composition
+    (gather.sample_gather_perm_t)."""
+    g = gather.sample_gather_perm_t(data, picks, order, inv_order)
+    k = picks.shape[1]
+    return [[g[m * 3 + i] for i in range(3)] for m in range(k)]
+
+
+def solve_arun_hyps(p, q, picks, order, inv_order):
     """SoA-batched minimal Arun solves for all hypotheses.
 
     p, q: (K, 3); picks: (H, 3) indices into the valid-first permutation
-    `order`. Returns (R_h (H, 3, 3), t_h (H, 3), ok_h (H,)) with ok_h
-    False for degenerate or repeated samples. Shared by the single-chip
-    and hypothesis-sharded (dist/sharded_verify.py) paths — per-hypothesis
+    `order` (inv_order its inverse — both from _masked_sample_parts).
+    Returns (R_h (H, 3, 3), t_h (H, 3), ok_h (H,)) with ok_h False for
+    degenerate or repeated samples. Shared by the single-chip and
+    hypothesis-sharded (dist/sharded_verify.py) paths — per-hypothesis
     arithmetic is independent of the batch, so sharding the table cannot
     change results.
     """
-    ps = _gather_samples(p[order], picks)
-    qs = _gather_samples(q[order], picks)
+    ps = _gather_samples_perm(p, picks, order, inv_order)
+    qs = _gather_samples_perm(q, picks, order, inv_order)
     R_l, t_l, ok_h = soa.arun3(ps, qs)
     ok_h = ok_h & _distinct(picks)
     return soa.stack_mat3(R_l), soa.stack_vec(t_l), ok_h
 
 
-def solve_essential_hyps(f1, f2, picks, order):
+def solve_essential_hyps(f1, f2, picks, order, inv_order):
     """SoA-batched 8-point essential solves for all hypotheses.
 
     f1, f2: (K, 3) unit bearings; picks: (H, 8). Returns
     (E_h (H, 3, 3), ok_h (H,)).
     """
-    s1 = _gather_samples(f1[order], picks)
-    s2 = _gather_samples(f2[order], picks)
+    s1 = _gather_samples_perm(f1, picks, order, inv_order)
+    s2 = _gather_samples_perm(f2, picks, order, inv_order)
     E_l, ok_h = soa.essential8(s1, s2)
     ok_h = ok_h & _distinct(picks)
     return soa.stack_mat3(E_l), ok_h
@@ -129,8 +148,8 @@ def ransac_arun(
     (`ransac_threshold_3d3d: 0.3`). Returns dict with R, t (B<-A ... the
     transform satisfying q ~ R p + t), inliers (K,), n_inliers, ok.
     """
-    picks, order = _masked_sample_parts(key, valid, n_hyp, 3)
-    R_h, t_h, ok_h = solve_arun_hyps(p, q, picks, order)
+    picks, order, inv_order = _masked_sample_parts(key, valid, n_hyp, 3)
+    R_h, t_h, ok_h = solve_arun_hyps(p, q, picks, order, inv_order)
 
     # score: count of ||q - (R p + t)|| < threshold per hypothesis
     # (fused Pallas kernel on TPU — no (H, K) residual materialization)
@@ -282,8 +301,7 @@ def ransac_essential_5pt(
     fixture (tests/test_mono_5pt_parity.py) is unchanged from the old
     10x16 — the ~10-real-roots bound of the 5-pt problem makes extra
     starts redundant, and GN converges quadratically."""
-    picks, order = _masked_sample_parts(key, valid, n_hyp, 5)
-    idx = order[picks]
+    picks, order, inv_order = _masked_sample_parts(key, valid, n_hyp, 5)
     H, S = n_hyp, n_starts
     # fused model generation: one-hot MXU sample gather feeding the
     # VMEM-resident nullspace+polish+projection kernel (kernels/fivept.py)
@@ -292,8 +310,8 @@ def ransac_essential_5pt(
     # call runs the algebraically identical XLA path, so the recall
     # fixtures (tests/test_mono_5pt_parity.py) gate the production
     # algebra on every backend.
-    g1 = gather.sample_gather_t(f1, idx)  # (15, H)
-    g2 = gather.sample_gather_t(f2, idx)
+    g1 = gather.sample_gather_perm_t(f1, picks, order, inv_order)  # (15, H)
+    g2 = gather.sample_gather_perm_t(f2, picks, order, inv_order)
     E_rows = fivept.fivept_models(g1, g2, n_starts=n_starts,
                                   gn_iters=gn_iters, project=False)
     # fused Sampson-inlier counting (Pallas on TPU)
@@ -353,8 +371,9 @@ def ransac_essential(
     threshold: squared Sampson error (`ransac_threshold_2d2d: 1e-06`).
     """
     assert k_sample == 8, "the SoA minimal path is specialized to k=8"
-    picks, order = _masked_sample_parts(key, valid, n_hyp, k_sample)
-    E_h, ok_h = solve_essential_hyps(f1, f2, picks, order)
+    picks, order, inv_order = _masked_sample_parts(key, valid, n_hyp,
+                                                    k_sample)
+    E_h, ok_h = solve_essential_hyps(f1, f2, picks, order, inv_order)
     # fused Sampson-inlier counting (Pallas on TPU)
     counts = score.essential_counts(E_h, f1, f2, valid, threshold) * ok_h
     best = jnp.argmax(counts)

@@ -59,21 +59,32 @@ def _pick_tile(Hp: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _rigid_counts_kernel(R9_ref, t3_ref, pT_ref, qT_ref, valid_ref, out_ref,
+def _rigid_counts_kernel(R9_ref, t3_ref, p_ref, q_ref, valid_ref, out_ref,
                          *, thr2: float):
+    """Point operands in NATURAL (K, 3) layout (see the essential kernel
+    note): contractions transpose on the MXU, and q's coordinate rows
+    are extracted with one-hot (1, 3) matmuls instead of a caller-side
+    q.T materialization."""
     R9 = R9_ref[...]  # (TH, 9) row-major rotations
     t3 = t3_ref[...]  # (TH, 3)
-    pT = pT_ref[...]  # (3, K)
-    qT = qT_ref[...]  # (3, K)
+    p = p_ref[...]  # (K, 3)
+    q = q_ref[...]  # (K, 3)
     valid = valid_ref[...]  # (1, K) f32
     d2 = None
     for i in range(3):
         Rp = jax.lax.dot_general(
-            R9[:, 3 * i:3 * i + 3], pT,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            R9[:, 3 * i:3 * i + 3], p,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (TH, K)
-        r = qT[i:i + 1, :] - Rp - t3[:, i:i + 1]
+        # one-hot row selector built in-kernel (iota compare — Pallas
+        # kernels cannot capture array constants)
+        e_i = (jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+               == i).astype(jnp.float32)
+        q_row = jax.lax.dot_general(
+            e_i, q, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (1, K)
+        r = q_row - Rp - t3[:, i:i + 1]
         d2 = r * r if d2 is None else d2 + r * r
     inl = jnp.where((d2 < thr2) & (valid > 0.5), 1.0, 0.0)
     out_ref[...] = jnp.sum(inl, axis=1, keepdims=True).astype(jnp.int32)
@@ -108,10 +119,8 @@ def rigid_counts(R: jnp.ndarray, t: jnp.ndarray, p: jnp.ndarray,
     t3 = _pad_h(t)
     Hp = R9.shape[0]
     tile_h = _pick_tile(Hp)
-    pT = p.T  # (3, K)
-    qT = q.T
     vf = valid.astype(jnp.float32)[None, :]  # (1, K)
-    K = pT.shape[1]
+    K = p.shape[0]
 
     counts = pl.pallas_call(
         functools.partial(_rigid_counts_kernel, thr2=thr2),
@@ -121,15 +130,15 @@ def rigid_counts(R: jnp.ndarray, t: jnp.ndarray, p: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, 3), lambda h: (h, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 3), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 3), lambda h: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_h, 1), lambda h: (h, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hp, 1), jnp.int32),
         interpret=interpret,
-    )(R9, t3, pT, qT, vf)
+    )(R9, t3, p, q, vf)
     return counts[:H, 0]
 
 
@@ -141,27 +150,34 @@ def rigid_counts(R: jnp.ndarray, t: jnp.ndarray, p: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _essential_counts_kernel(E9_ref, Et9_ref, g_ref, f1T_ref, f2T_ref,
+def _essential_counts_kernel(E9_ref, g_ref, f1_ref, f2_ref,
                              valid_ref, out_ref, *, thr: float):
+    """All point operands arrive in their NATURAL (K, ...) layout — the
+    contraction transposes on the MXU. The old (3, K)/(9, K) operand
+    forms made XLA materialize transposed copies of every bearing array
+    per candidate (the copy-start ops were ~25% of the round-4 profile).
+    E^T's rows are column-reorders of E9, sliced in VMEM."""
     E9 = E9_ref[...]  # (TH, 9) row-major E
-    Et9 = Et9_ref[...]  # (TH, 9) row-major E^T
-    g = g_ref[...]  # (9, K): g[3i+j, k] = f2[k, i] * f1[k, j]
-    f1T = f1T_ref[...]  # (3, K)
-    f2T = f2T_ref[...]
+    g = g_ref[...]  # (K, 9): g[k, 3i+j] = f2[k, i] * f1[k, j]
+    f1 = f1_ref[...]  # (K, 3)
+    f2 = f2_ref[...]
     valid = valid_ref[...]  # (1, K)
 
     num = jax.lax.dot_general(
-        E9, g, dimension_numbers=(((1,), (0,)), ((), ())),
+        E9, g, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (TH, K)
     den = None
     for i in range(2):  # only x, y components enter the denominator
         Ef1_i = jax.lax.dot_general(
-            E9[:, 3 * i:3 * i + 3], f1T,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            E9[:, 3 * i:3 * i + 3], f1,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        Eti = jnp.concatenate(
+            [E9[:, c * 3 + i:c * 3 + i + 1] for c in range(3)],
+            axis=1)  # (TH, 3) row i of E^T
         Etf2_i = jax.lax.dot_general(
-            Et9[:, 3 * i:3 * i + 3], f2T,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            Eti, f2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         term = Ef1_i * Ef1_i + Etf2_i * Etf2_i
         den = term if den is None else den + term
@@ -199,14 +215,12 @@ def essential_counts(E: jnp.ndarray, f1: jnp.ndarray, f2: jnp.ndarray,
 
     H = E.shape[0]
     E9 = _pad_h(E.reshape(H, 9))
-    Et9 = _pad_h(jnp.swapaxes(E, -1, -2).reshape(H, 9))
     Hp = E9.shape[0]
     tile_h = _pick_tile(Hp)
-    # g rows ordered to match vec(E): g[3i+j] = f2_i * f1_j
-    g = (f2[:, :, None] * f1[:, None, :]).reshape(-1, 9).T  # (9, K)
-    f1T, f2T = f1.T, f2.T
+    # g columns ordered to match vec(E): g[:, 3i+j] = f2_i * f1_j
+    g = (f2[:, :, None] * f1[:, None, :]).reshape(-1, 9)  # (K, 9)
     vf = valid.astype(jnp.float32)[None, :]
-    K = f1T.shape[1]
+    K = f1.shape[0]
 
     counts = pl.pallas_call(
         functools.partial(_essential_counts_kernel, thr=thr),
@@ -214,16 +228,14 @@ def essential_counts(E: jnp.ndarray, f1: jnp.ndarray, f2: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((tile_h, 9), lambda h: (h, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, 9), lambda h: (h, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 9), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 3), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 3), lambda h: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_h, 1), lambda h: (h, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hp, 1), jnp.int32),
         interpret=interpret,
-    )(E9, Et9, g, f1T, f2T, vf)
+    )(E9, g, f1, f2, vf)
     return counts[:H, 0]

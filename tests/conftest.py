@@ -23,11 +23,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# CPU tests get their OWN cache: sharing one directory with concurrent
-# TPU bench processes produced a one-off SIGSEGV loading an entry mid-
-# write, and stale CPU AOT blobs compiled on a different machine carry a
-# machine-feature mismatch (cpu_aot_loader warns it "could lead to
-# execution errors such as SIGILL")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# CPU tests get their OWN cache, keyed by the host's CPU feature set and
+# compile route (core/backend.cpu_cache_fingerprint): entries AOT-
+# compiled elsewhere (the axon relay's compile service) and loaded here
+# SIGSEGV inside jax's cache read — that single failure mode broke every
+# round-3 full-suite run and one round-4 run before the fingerprinting.
+from kimera_multi_tpu.core.backend import configure_compilation_cache  # noqa: E402
+
+configure_compilation_cache()
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -279,3 +279,54 @@ def test_ransac_essential_5pt_outliers():
     true_inl = np.ones(K, bool); true_inl[out_idx] = False
     assert got[true_inl].mean() > 0.9
     assert got[~true_inl].mean() < 0.1
+
+
+def test_pair_matcher_kernel_interpret_equals_xla():
+    """The Pallas pair matcher (raw-descriptor in-kernel bit unpack) must
+    reproduce the XLA path's matches and distances EXACTLY: the bit-major
+    unpack order is a fixed permutation of the byte-major reference
+    order, and Hamming distances are permutation-invariant."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kimera_multi_tpu.kernels import hamming
+
+    npr = np.random.default_rng(42)
+    C, K = 3, 96
+    dq = npr.integers(0, 256, (C, K, 32), dtype=np.uint8)
+    dt = dq.copy()
+    # half true matches with flipped bits, half clutter, some invalid
+    flip = npr.integers(0, 32, (C, K))
+    for c in range(C):
+        dt[c, np.arange(K), flip[c]] ^= 3
+        idx = npr.choice(K, K // 2, replace=False)
+        dt[c, idx] = npr.integers(0, 256, (len(idx), 32), dtype=np.uint8)
+    vq = npr.uniform(size=(C, K)) > 0.1
+    vt = npr.uniform(size=(C, K)) > 0.1
+
+    m_x, d_x = hamming.knn2_lowe_match_pairs(
+        jnp.asarray(dq), jnp.asarray(vq), jnp.asarray(dt), jnp.asarray(vt))
+    m_k, d_k = hamming.knn2_lowe_match_pairs(
+        jnp.asarray(dq), jnp.asarray(vq), jnp.asarray(dt), jnp.asarray(vt),
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(m_k), np.asarray(m_x))
+    np.testing.assert_array_equal(np.asarray(d_k), np.asarray(d_x))
+    assert (np.asarray(m_x) >= 0).sum() > 0
+
+
+def test_sample_gather_perm_kernel_matches_composition():
+    """The fused permutation gather must equal data[order[picks]] exactly
+    (interpret mode runs the kernel's one-hot path)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kimera_multi_tpu.kernels import gather
+
+    npr = np.random.default_rng(5)
+    K, H, k = 96, 300, 5
+    data = jnp.asarray(npr.normal(size=(K, 3)).astype(np.float32))
+    order = jnp.asarray(npr.permutation(K).astype(np.int32))
+    inv = jnp.asarray(np.argsort(np.asarray(order)).astype(np.int32))
+    picks = jnp.asarray(npr.integers(0, K, (H, k)).astype(np.int32))
+    a = gather.sample_gather_perm_t(data, picks, order, inv,
+                                    interpret=True)
+    b = gather.sample_gather_perm_t(data, picks, order, inv)  # XLA path
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
