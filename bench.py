@@ -151,9 +151,18 @@ def make_candidates_np(n_cand: int, K: int, seed: int = 0):
 
 
 def make_candidates(n_cand: int, K: int, seed: int = 0):
+    """Device candidates with SoA (coordinate-major) point arrays: a
+    trailing dim of 3 pads to a full 128-lane TPU tile (42x physical
+    HBM), so bearings/landmarks ship as (C, 3, K)."""
     import jax.numpy as jnp
 
-    return tuple(jnp.asarray(x) for x in make_candidates_np(n_cand, K, seed))
+    da, db, ba, bb, pa, pb, valid = make_candidates_np(n_cand, K, seed)
+    return (jnp.asarray(da), jnp.asarray(db),
+            jnp.asarray(np.ascontiguousarray(ba.transpose(0, 2, 1))),
+            jnp.asarray(np.ascontiguousarray(bb.transpose(0, 2, 1))),
+            jnp.asarray(np.ascontiguousarray(pa.transpose(0, 2, 1))),
+            jnp.asarray(np.ascontiguousarray(pb.transpose(0, 2, 1))),
+            jnp.asarray(valid))
 
 
 def _rand_rot(npr, n):
@@ -293,7 +302,7 @@ def build_stage_fns(n_hyp: int = 500, use_5pt: bool = True):
             idx = jnp.maximum(mi, 0)
             k = rngmod.derive(rngmod.base_key(0), cand_id,
                               rngmod.Stream.RANSAC_MONO)
-            return mono_fn(k, fq, fm[idx], matched, n_hyp=n_hyp,
+            return mono_fn(k, fq, fm[:, idx], matched, n_hyp=n_hyp,
                            min_inliers=10)
 
         ids = jnp.arange(m.shape[0])
@@ -306,8 +315,8 @@ def build_stage_fns(n_hyp: int = 500, use_5pt: bool = True):
             idx = jnp.maximum(mi, 0)
             k = rngmod.derive(rngmod.base_key(0), cand_id,
                               rngmod.Stream.RANSAC_STEREO)
-            return ransac.ransac_arun(k, pq, pm[idx], matched, n_hyp=n_hyp,
-                                      min_inliers=5)
+            return ransac.ransac_arun(k, pq, pm[:, idx], matched,
+                                      n_hyp=n_hyp, min_inliers=5)
 
         ids = jnp.arange(m.shape[0])
         return jax.vmap(one)(ids, m, pa, pb)

@@ -86,6 +86,18 @@ def main(argv=None):
                         "loop closures whose GT keyframe distance exceeds "
                         "this many meters (extract_lc_images.py equivalent; "
                         "reference threshold 30)")
+    p.add_argument("--vio-width", type=int, default=128,
+                   help="vio-sim: rendered image width (reference "
+                        "envelope 640, BASELINE.md)")
+    p.add_argument("--vio-height", type=int, default=96,
+                   help="vio-sim: rendered image height (reference "
+                        "envelope 480)")
+    p.add_argument("--vio-features", type=int, default=96,
+                   help="vio-sim: VIO feature budget (reference "
+                        "envelope 300, maxFeaturesPerFrame)")
+    p.add_argument("--vio-window", type=int, default=8,
+                   help="vio-sim: smoother window size (reference "
+                        "envelope 25 keyframes)")
     p.add_argument("--submap-size", type=int, default=0,
                    help="coarsen the back-end graph to submaps of up to "
                         "this many keyframes (reference: the dpgo back-end "
@@ -411,26 +423,36 @@ def run_vio_sim(args):
 
     t_start = time.time()
     Rn, F = args.robots, args.steps
-    H, W = 96, 128
-    cam = CameraModel(fx=110.0, fy=110.0, cx=W / 2, cy=H / 2)
+    # resolution/feature/window knobs default to the fast CI scale;
+    # --vio-width 640 --vio-height 480 --vio-features 300 --vio-window 25
+    # runs the reference envelope (BASELINE.md: 640x480, 300 feats,
+    # horizon 25, params/D455/FrontendParams.yaml) — weak 4's missing
+    # envelope point
+    H, W = args.vio_height, args.vio_width
+    feats = args.vio_features
+    cam = CameraModel(fx=0.86 * W, fy=0.86 * W, cx=W / 2, cy=H / 2)
     rig = render_mod.StereoRig(cam=cam, H=H, W=W, baseline=0.2)
     # 50% window overlap between consecutive robots => guaranteed revisits
     stride = max(F // 2, 1)
     F_total = stride * (Rn - 1) + F
     print(f"[run] rendering {F_total} stereo frames ({Rn} robots x {F} "
-          f"frames, stride {stride})", file=sys.stderr)
-    scene = render_mod.make_scene(seed=args.seed, n_points=350)
+          f"frames, {W}x{H}, {feats} features, stride {stride})",
+          file=sys.stderr)
+    scene = render_mod.make_scene(seed=args.seed,
+                                  n_points=max(350, 4 * feats))
     seq = render_mod.render_sequence(
         scene, rig, n_frames=F_total, rate_hz=10.0, imu_rate_hz=100.0,
         speed=0.6, yaw_rate=0.1)
 
     cfg = vio_pipeline.PipelineConfig(
-        cam=cam, baseline=rig.baseline, window_size=8, max_features=96,
-        gftt=vio_pipeline.tracking.GfttParams(max_features=96,
-                                              min_distance=6,
+        cam=cam, baseline=rig.baseline, window_size=args.vio_window,
+        max_features=feats,
+        gftt=vio_pipeline.tracking.GfttParams(max_features=feats,
+                                              min_distance=max(
+                                                  6, W // 21),
                                               quality_level=0.001),
-        klt=vio_pipeline.tracking.KltParams(win_size=12, max_level=3,
-                                            max_iter=20),
+        klt=vio_pipeline.tracking.KltParams(
+            win_size=12 if W <= 256 else 24, max_level=3, max_iter=20),
         min_intra_keyframe_time=0.0, disparity_threshold=0.0,
         ransac_iterations=200, min_mono_inliers=8, min_stereo_inliers=4,
         vio=vio_pipeline.smoother.VioConfig(gn_iters=12),

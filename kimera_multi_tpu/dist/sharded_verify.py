@@ -70,22 +70,25 @@ def make_sharded_arun(mesh, n_hyp: int = 512, threshold: float = 0.3,
         w = jnp.argmax(keyed)
         R_b = allc[w, 2:11].reshape(3, 3)
         t_b = allc[w, 11:14]
-        # replicated consensus refit (identical on all shards)
-        resid_b = q - (jnp.einsum("ij,kj->ki", R_b, p) + t_b)
-        best_inl = (jnp.sum(resid_b * resid_b, -1) < threshold * threshold) \
-            & valid
-        R_r, t_r, ok_r = minimal.arun_3d3d(p, q, best_inl.astype(p.dtype))
+        # replicated consensus refit (identical on all shards).
+        # p, q are SoA (3, K) — the pipeline-wide point layout.
+        def _inl(R_b, t_b):
+            r = q - (R_b @ p + t_b[:, None])
+            return (jnp.sum(r * r, axis=0) < threshold * threshold) & valid
+
+        best_inl = _inl(R_b, t_b)
+        R_r, t_r, ok_r = minimal.arun_3d3d_soa(p, q,
+                                               best_inl.astype(p.dtype))
         use = ok_r & (jnp.sum(best_inl) >= 3)
         R_b = jnp.where(use, R_r, R_b)
         t_b = jnp.where(use, t_r, t_b)
-        resid_b = q - (jnp.einsum("ij,kj->ki", R_b, p) + t_b)
-        best_inl = (jnp.sum(resid_b * resid_b, -1) < threshold * threshold) \
-            & valid
+        best_inl = _inl(R_b, t_b)
         n_inl = jnp.sum(best_inl).astype(jnp.int32)
         return R_b, t_b, best_inl, n_inl
 
     @jax.jit
     def run(key, p, q, valid):
+        """p, q: (3, K) SoA points; valid: (K,)."""
         R, t, inl, n = _run(key, p, q, valid)
         return {"R": R, "t": t, "inliers": inl, "n_inliers": n,
                 "ok": n >= min_inliers}

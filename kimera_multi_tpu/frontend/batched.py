@@ -214,6 +214,9 @@ def make_verifier(cfg: FrontendConfig):
     @jax.jit
     def verify_many(base_key, desc_store, obs_store, bear_store, lm_store,
                     qr, qf, tr, tm):
+        """bear_store / lm_store are SoA: (R, T, 3, K) coordinate-major
+        (a trailing dim of 3 pads to a 128-lane TPU tile — 42x physical
+        HBM for the whole keyframe store AND every staged verify chunk)."""
         dq, vq = desc_store[qr, qf], obs_store[qr, qf]
         dm, vm = desc_store[tr, tm], obs_store[tr, tm]
         m, _ = hamming.knn2_lowe_match_pairs(dq, vq, dm, vm,
@@ -230,12 +233,12 @@ def make_verifier(cfg: FrontendConfig):
             mono_fn = (ransac.ransac_essential_5pt if cfg.use_5pt
                        else ransac.ransac_essential)
             mono = mono_fn(
-                kmono, bq, bm[idx], matched,
+                kmono, bq, bm[:, idx], matched,
                 threshold=cfg.mono_threshold, n_hyp=cfg.ransac_hyp,
                 min_inliers=cfg.min_mono_inliers)
             kst = rngmod.derive(key, rngmod.Stream.RANSAC_STEREO)
             st = ransac.ransac_arun(
-                kst, lq, lmm[idx], matched,
+                kst, lq, lmm[:, idx], matched,
                 threshold=cfg.stereo_threshold, n_hyp=cfg.ransac_hyp,
                 min_inliers=cfg.min_stereo_inliers)
             R_qm, t_qm = lie.se3_inverse(st["R"], st["t"])
@@ -362,8 +365,9 @@ class BatchedFrontend:
             return self.stats
         cfg = self.cfg
         desc = jnp.asarray(descriptors)
-        bear = jnp.asarray(bearings)
-        lm = jnp.asarray(landmarks)
+        # one run-level relayout to the SoA keyframe stores (R, T, 3, K)
+        bear = jnp.swapaxes(jnp.asarray(bearings), -1, -2)
+        lm = jnp.swapaxes(jnp.asarray(landmarks), -1, -2)
         ov = jnp.asarray(obs_valid)
 
         # Verify in FIXED-SIZE chunks (capacity discipline, SURVEY §7.4):

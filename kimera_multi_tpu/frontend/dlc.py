@@ -128,13 +128,16 @@ class DistributedFrontend:
             kmono = rngmod.derive(key, rngmod.Stream.RANSAC_MONO)
             mono_fn = (ransac.ransac_essential_5pt if cfg.use_5pt
                        else ransac.ransac_essential)
+            # RANSAC engines take SoA (3, K) point arrays; this
+            # sequential path keeps AoS stores (host-loop compat tier)
+            # and converts at the boundary
             mono = mono_fn(
-                kmono, bear_q, bear_m[idx], matched,
+                kmono, bear_q.T, bear_m[idx].T, matched,
                 threshold=cfg.mono_threshold, n_hyp=cfg.ransac_hyp,
                 min_inliers=cfg.min_mono_inliers)
             kst = rngmod.derive(key, rngmod.Stream.RANSAC_STEREO)
             st = ransac.ransac_arun(
-                kst, lm_q, lm_m[idx], matched,
+                kst, lm_q.T, lm_m[idx].T, matched,
                 threshold=cfg.stereo_threshold, n_hyp=cfg.ransac_hyp,
                 min_inliers=cfg.min_stereo_inliers)
             # Arun gives x_m = R x_q + t (T^m_q); the pose-graph edge

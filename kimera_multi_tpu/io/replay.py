@@ -241,9 +241,13 @@ def replay_verify(log_dir: str, obs_dir: str, n_robots: int,
     qf = np.asarray([c.frame_a for c in cands] + [0] * pad, np.int32)
     tr = np.asarray([c.robot_b for c in cands] + [0] * pad, np.int32)
     tm = np.asarray([c.frame_b for c in cands] + [0] * pad, np.int32)
+    # the verifier's keyframe stores are SoA (R, T, 3, K) — see
+    # frontend/batched.make_verifier's layout note
     res = verify(rngmod.base_key(cfg.base_seed),
-                 jnp.asarray(desc), jnp.asarray(val), jnp.asarray(bear),
-                 jnp.asarray(lm), jnp.asarray(qr), jnp.asarray(qf),
+                 jnp.asarray(desc), jnp.asarray(val),
+                 jnp.swapaxes(jnp.asarray(bear), -1, -2),
+                 jnp.swapaxes(jnp.asarray(lm), -1, -2),
+                 jnp.asarray(qr), jnp.asarray(qf),
                  jnp.asarray(tr), jnp.asarray(tm))
     res = jax.tree_util.tree_map(np.asarray, res)
 

@@ -231,7 +231,7 @@ def _fivept_models_ref(f1s, f2s, n_starts, gn_iters, project: bool = True):
     return _project_rows(out, n_starts) if project else out
 
 
-def _presel_counts_kernel(E_ref, g_ref, f1T_ref, f2T_ref, vm_ref, out_ref,
+def _presel_counts_kernel(E_ref, g_ref, f1s_ref, f2s_ref, vm_ref, out_ref,
                           *, n_starts: int, thr: float):
     """Sampson-inlier counts over the preselect points, consumed straight
     off the model rows in their native (9 S, TH) layout — zero relayouts.
@@ -239,15 +239,15 @@ def _presel_counts_kernel(E_ref, g_ref, f1T_ref, f2T_ref, vm_ref, out_ref,
     against the point data on the MXU; intermediates are (P, TH)."""
     S = n_starts
     E = E_ref[...]        # (9 S, TH)
-    g = g_ref[...]        # (P, 9): g[p] = outer(f2_p, f1_p).ravel()
-    f1T = f1T_ref[...]    # (P, 3)
-    f2T = f2T_ref[...]    # (P, 3)
+    g = g_ref[...]        # (9, P): g[3i+j, p] = f2[i, p] * f1[j, p]
+    f1s = f1s_ref[...]    # (3, P) SoA
+    f2s = f2s_ref[...]    # (3, P)
     vm = vm_ref[...]      # (1, P) f32 valid mask
     for s in range(S):
         E_s = jnp.concatenate(
             [E[e * S + s:e * S + s + 1, :] for e in range(9)], axis=0)
         num = jax.lax.dot_general(
-            g, E_s, dimension_numbers=(((1,), (0,)), ((), ())),
+            g, E_s, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (P, TH)
         den = None
         for i in range(2):
@@ -256,10 +256,10 @@ def _presel_counts_kernel(E_ref, g_ref, f1T_ref, f2T_ref, vm_ref, out_ref,
                 [E_s[c * 3 + i:c * 3 + i + 1, :] for c in range(3)],
                 axis=0)  # (3, TH) row i of E^T
             a = jax.lax.dot_general(
-                f1T, Ei, dimension_numbers=(((1,), (0,)), ((), ())),
+                f1s, Ei, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             b = jax.lax.dot_general(
-                f2T, Eti, dimension_numbers=(((1,), (0,)), ((), ())),
+                f2s, Eti, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             t = a * a + b * b
             den = t if den is None else den + t
@@ -277,7 +277,7 @@ def presel_counts(E_rows: jnp.ndarray, f1p: jnp.ndarray, f2p: jnp.ndarray,
     """Preselect Sampson-inlier counts for every (hypothesis, start).
 
     E_rows: (9 S, H) raw model rows (fivept_models project=False layout);
-    f1p, f2p: (P, 3) preselect bearings; validp: (P,) mask.
+    f1p, f2p: (3, P) SoA preselect bearings; validp: (P,) mask.
     Returns (H, S) int32 counts. TPU: fused kernel on the native layout
     (the old path's models_to_flat transpose alone cost 7.7 ms/batch);
     elsewhere: the reference scoring on the flattened models.
@@ -300,8 +300,8 @@ def presel_counts(E_rows: jnp.ndarray, f1p: jnp.ndarray, f2p: jnp.ndarray,
     if pad:
         E_rows = jnp.pad(E_rows, ((0, 0), (0, pad)))
     Hp = H + pad
-    P = f1p.shape[0]
-    g = (f2p[:, :, None] * f1p[:, None, :]).reshape(P, 9)
+    P = f1p.shape[1]
+    g = (f2p[:, None, :] * f1p[None, :, :]).reshape(9, P)
     vm = validp.astype(jnp.float32)[None, :]
     out = pl.pallas_call(
         functools.partial(_presel_counts_kernel, n_starts=S, thr=thr),
@@ -309,11 +309,11 @@ def presel_counts(E_rows: jnp.ndarray, f1p: jnp.ndarray, f2p: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((9 * S, tile), lambda h: (0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 9), lambda h: (0, 0),
+            pl.BlockSpec((9, P), lambda h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 3), lambda h: (0, 0),
+            pl.BlockSpec((3, P), lambda h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 3), lambda h: (0, 0),
+            pl.BlockSpec((3, P), lambda h: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P), lambda h: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -33,17 +33,16 @@ def _use_pallas() -> bool:
 
 def _sample_gather_kernel(picksT_ref, data_ref, out_ref, *, k: int, D: int):
     picksT = picksT_ref[...]  # (k, TH) int32
-    data = data_ref[...]  # (K, D) f32 — NATURAL layout; the contraction
-    # below transposes on the MXU, so the caller never materializes
-    # data.T (those per-candidate transpose copies were ~25% of the
-    # verification batch in the round-4 device profile)
-    K = data.shape[0]
+    data = data_ref[...]  # (D, K) f32 SoA — coordinate-major, matching
+    # the pipeline-wide point layout (a (K, 3) operand pads its 3-lane
+    # minor dim to a full 128-lane tile in VMEM/HBM)
+    K = data.shape[1]
     TH = picksT.shape[1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (K, TH), 0)
     for m in range(k):
         ohT = (iota == picksT[m:m + 1, :]).astype(jnp.float32)  # (K, TH)
         res = jax.lax.dot_general(
-            data, ohT, dimension_numbers=(((0,), (0,)), ((), ())),
+            data, ohT, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (D, TH)
         out_ref[m * D:(m + 1) * D, :] = res
@@ -56,13 +55,13 @@ def _sample_gather_perm_kernel(picksT_ref, data_ref, invp_ref, out_ref,
     materializing perm[picks] (a (H, k) scalar gather that profiled at
     3.3 ms/batch) or data[perm] (a (K, D) row gather per candidate)."""
     picksT = picksT_ref[...]   # (k, TH) int32
-    data = data_ref[...]       # (K, D) f32
+    data = data_ref[...]       # (D, K) f32 SoA
     invp = invp_ref[...]       # (K, 1) int32 — inverse permutation
     TH = picksT.shape[1]
     for m in range(k):
         ohT = (invp == picksT[m:m + 1, :]).astype(jnp.float32)  # (K, TH)
         res = jax.lax.dot_general(
-            data, ohT, dimension_numbers=(((0,), (0,)), ((), ())),
+            data, ohT, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (D, TH)
         out_ref[m * D:(m + 1) * D, :] = res
@@ -72,14 +71,14 @@ def sample_gather_t(data: jnp.ndarray, picks: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     """Gather minimal samples, hypothesis-minor.
 
-    data: (K, D) f32; picks: (H, k) int32 in [0, K).
-    Returns (k * D, H): out[m * D + i, h] = data[picks[h, m], i].
+    data: (D, K) f32 SoA; picks: (H, k) int32 in [0, K).
+    Returns (k * D, H): out[m * D + i, h] = data[i, picks[h, m]].
     """
     H, k = picks.shape
-    K, D = data.shape
+    D, K = data.shape
     if not (_use_pallas() or interpret):
-        g = data[picks]  # (H, k, D)
-        return jnp.moveaxis(g, 0, -1).reshape(k * D, H)
+        g = data[:, picks]  # (D, H, k)
+        return jnp.transpose(g, (2, 0, 1)).reshape(k * D, H)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -97,7 +96,7 @@ def sample_gather_t(data: jnp.ndarray, picks: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((k, tile), lambda h: (0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((k * D, tile), lambda h: (0, h),
                                memory_space=pltpu.VMEM),
@@ -116,16 +115,16 @@ def sample_gather_perm_t(data: jnp.ndarray, picks: jnp.ndarray,
     with the permutation folded into the one-hot compare (TPU) so
     neither data[order] nor order[picks] is ever materialized.
 
-    data: (K, D); picks: (H, k) indices into the PERMUTED space;
+    data: (D, K) SoA; picks: (H, k) indices into the PERMUTED space;
     order: (K,) the permutation (used by the XLA fallback);
     inv_order: (K,) its inverse (inv_order[order[j]] == j).
-    Returns (k * D, H): out[m * D + i, h] = data[order[picks[h, m]], i].
+    Returns (k * D, H): out[m * D + i, h] = data[i, order[picks[h, m]]].
     """
     H, k = picks.shape
-    K, D = data.shape
+    D, K = data.shape
     if not (_use_pallas() or interpret):
-        g = data[order[picks]]
-        return jnp.moveaxis(g, 0, -1).reshape(k * D, H)
+        g = data[:, order[picks]]  # (D, H, k)
+        return jnp.transpose(g, (2, 0, 1)).reshape(k * D, H)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -143,7 +142,7 @@ def sample_gather_perm_t(data: jnp.ndarray, picks: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((k, tile), lambda h: (0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, D), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, 1), lambda h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((k * D, tile), lambda h: (0, h),

@@ -143,7 +143,11 @@ def ransac_arun(
 ):
     """3d3d RANSAC with Arun minimal solver (k=3).
 
-    p, q: (K, 3) corresponding 3D points (p in frame A, q in frame B);
+    p, q: (3, K) SoA corresponding 3D points (p in frame A, q in frame
+    B) — coordinate-major: on TPU a trailing dim of 3 pads to a full
+    128-lane tile (42x physical HBM bloat, measured as the dominant
+    staging-copy cost of the verification batch), so every point array
+    in the verification pipeline is coordinate-major.
     valid: (K,) mask. threshold: inlier distance in meters
     (`ransac_threshold_3d3d: 0.3`). Returns dict with R, t (B<-A ... the
     transform satisfying q ~ R p + t), inliers (K,), n_inliers, ok.
@@ -156,21 +160,24 @@ def ransac_arun(
     counts = score.rigid_counts(R_h, t_h, p, q, valid, threshold) * ok_h
     best = jnp.argmax(counts)
     R_b, t_b = R_h[best], t_h[best]
-    resid0 = q - (jnp.einsum("ij,kj->ki", R_b, p) + t_b)
-    best_inl = (jnp.sum(resid0 * resid0, axis=-1) < threshold * threshold) \
-        & valid
+
+    def _inliers(R_b, t_b):
+        resid = q - (R_b @ p + t_b[:, None])  # (3, K)
+        return (jnp.sum(resid * resid, axis=0)
+                < threshold * threshold) & valid
+
+    best_inl = _inliers(R_b, t_b)
     if refine:
         # weighted re-solve on the consensus set (the reference's
         # optimize_3d3d_pose_from_inliers is off by default, but the
         # re-solve improves accuracy at negligible cost; inlier SET is
         # recomputed afterwards for reporting consistency)
         w = best_inl.astype(p.dtype)
-        R_r, t_r, ok_r = minimal.arun_3d3d(p, q, w)
+        R_r, t_r, ok_r = minimal.arun_3d3d_soa(p, q, w)
         use = ok_r & (jnp.sum(best_inl) >= 3)
         R_b = jnp.where(use, R_r, R_b)
         t_b = jnp.where(use, t_r, t_b)
-        resid_b = q - (jnp.einsum("ij,kj->ki", R_b, p) + t_b)
-        best_inl = (jnp.sum(resid_b * resid_b, axis=-1) < threshold * threshold) & valid
+        best_inl = _inliers(R_b, t_b)
     n_inl = jnp.sum(best_inl).astype(jnp.int32)
     return {
         "R": R_b,
@@ -195,21 +202,22 @@ def ransac_translation_known_rotation(
 ):
     """1-point 3d3d RANSAC with known rotation (reference:
     `ransac_use_1point_3d3d: 1`, rotation from IMU/odometry;
-    drawio:1787-1846). Hypothesis: t = q_i - R p_i."""
+    drawio:1787-1846). p, q: (3, K) SoA. Hypothesis: t = q_i - R p_i."""
     idx = _masked_sample(key, valid, n_hyp, 1)[:, 0]  # (H,)
-    Rp = jnp.einsum("ij,kj->ki", R_known, p)  # (K, 3)
-    t_h = q[idx] - Rp[idx]  # (H, 3)
-    resid = q[None, :, :] - (Rp[None, :, :] + t_h[:, None, :])
-    d2 = jnp.sum(resid * resid, axis=-1)
+    Rp = R_known @ p  # (3, K)
+    diff = q - Rp  # (3, K)
+    t_h = diff[:, idx].T  # (H, 3)
+    d2 = sum((diff[i][None, :] - t_h[:, i:i + 1]) ** 2 for i in range(3))
     inl = (d2 < threshold * threshold) & valid[None, :]
     counts = jnp.sum(inl, axis=1)
     best = jnp.argmax(counts)
     best_inl = inl[best]
     # refine: mean translation over consensus
-    w = best_inl.astype(p.dtype)[:, None]
-    t_b = jnp.sum((q - Rp) * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
-    resid_b = q - (Rp + t_b)
-    best_inl = (jnp.sum(resid_b * resid_b, axis=-1) < threshold * threshold) & valid
+    w = best_inl.astype(p.dtype)[None, :]
+    t_b = jnp.sum(diff * w, axis=1) / jnp.maximum(jnp.sum(w), 1.0)
+    resid_b = diff - t_b[:, None]
+    best_inl = (jnp.sum(resid_b * resid_b, axis=0)
+                < threshold * threshold) & valid
     return {
         "R": R_known,
         "t": t_b,
@@ -315,7 +323,7 @@ def ransac_essential_5pt(
     E_rows = fivept.fivept_models(g1, g2, n_starts=n_starts,
                                   gn_iters=gn_iters, project=False)
     # fused Sampson-inlier counting (Pallas on TPU)
-    K = f1.shape[0]
+    K = f1.shape[1]
     if preselect_pts and H > preselect_models and K > 2 * preselect_pts:
         # preselect on the first `preselect_pts` VALID correspondences:
         # `order` is the stable valid-first permutation, so this subset is
@@ -324,7 +332,8 @@ def ransac_essential_5pt(
         # every model at zero and make top_k pick arbitrary survivors
         sub = order[:preselect_pts]
         counts_hs = fivept.presel_counts(
-            E_rows, f1[sub], f2[sub], valid[sub], threshold, n_starts)
+            E_rows, f1[:, sub], f2[:, sub], valid[sub], threshold,
+            n_starts)
         E_sel_raw, _flat_idx = fivept.select_models(
             E_rows, counts_hs, preselect_models, n_starts)
         E_sel, _okp = minimal._project_essential(E_sel_raw)
@@ -335,14 +344,15 @@ def ransac_essential_5pt(
             fivept._project_rows(E_rows, n_starts), n_starts)
         counts = score.essential_counts(E_flat, f1, f2, valid, threshold)
         E_b = E_flat[jnp.argmax(counts)]
-    err0 = minimal.sampson_error(E_b, f1, f2)
+    err0 = minimal.sampson_error_soa(E_b, f1, f2)
     best_inl = (err0 < threshold) & valid
     if refine:
         # refine on consensus with the (weighted) 8-point least squares
-        E_r, ok_r = minimal.essential_8pt(f1, f2, best_inl.astype(f1.dtype))
+        E_r, ok_r = minimal.essential_8pt_soa(f1, f2,
+                                              best_inl.astype(f1.dtype))
         use = ok_r & (jnp.sum(best_inl) >= 8)
         E_b = jnp.where(use, E_r, E_b)
-        err_b = minimal.sampson_error(E_b, f1, f2)
+        err_b = minimal.sampson_error_soa(E_b, f1, f2)
         best_inl = (err_b < threshold) & valid
     n_inl = jnp.sum(best_inl).astype(jnp.int32)
     return {
@@ -365,9 +375,11 @@ def ransac_essential(
 ):
     """2d2d monocular RANSAC: essential matrix from bearing vectors.
 
-    Role of the reference's `geometricVerificationNister` (mono RANSAC,
-    >= 10 inliers gate, drawio:2589-2593). v1 uses the 8-point minimal
-    solver (see kernels/minimal.py docstring for the 5-pt parity note).
+    f1, f2: (3, K) SoA unit bearings (coordinate-major — see
+    ransac_arun's layout note). Role of the reference's
+    `geometricVerificationNister` (mono RANSAC, >= 10 inliers gate,
+    drawio:2589-2593). v1 uses the 8-point minimal solver (see
+    kernels/minimal.py docstring for the 5-pt parity note).
     threshold: squared Sampson error (`ransac_threshold_2d2d: 1e-06`).
     """
     assert k_sample == 8, "the SoA minimal path is specialized to k=8"
@@ -378,13 +390,14 @@ def ransac_essential(
     counts = score.essential_counts(E_h, f1, f2, valid, threshold) * ok_h
     best = jnp.argmax(counts)
     E_best = E_h[best]
-    err0 = minimal.sampson_error(E_best, f1, f2)
+    err0 = minimal.sampson_error_soa(E_best, f1, f2)
     best_inl = (err0 < threshold) & valid
     # refine on consensus set (weighted 8-pt)
-    E_r, ok_r = minimal.essential_8pt(f1, f2, best_inl.astype(f1.dtype))
+    E_r, ok_r = minimal.essential_8pt_soa(f1, f2,
+                                          best_inl.astype(f1.dtype))
     use = ok_r & (jnp.sum(best_inl) >= k_sample)
     E_b = jnp.where(use, E_r, E_best)
-    err_b = minimal.sampson_error(E_b, f1, f2)
+    err_b = minimal.sampson_error_soa(E_b, f1, f2)
     best_inl = (err_b < threshold) & valid
     n_inl = jnp.sum(best_inl).astype(jnp.int32)
     return {

@@ -61,41 +61,32 @@ def _pick_tile(Hp: int) -> int:
 
 def _rigid_counts_kernel(R9_ref, t3_ref, p_ref, q_ref, valid_ref, out_ref,
                          *, thr2: float):
-    """Point operands in NATURAL (K, 3) layout (see the essential kernel
-    note): contractions transpose on the MXU, and q's coordinate rows
-    are extracted with one-hot (1, 3) matmuls instead of a caller-side
-    q.T materialization."""
+    """Point operands in the pipeline-wide SoA (3, K) layout —
+    coordinate rows slice directly, no transposed copies anywhere."""
     R9 = R9_ref[...]  # (TH, 9) row-major rotations
     t3 = t3_ref[...]  # (TH, 3)
-    p = p_ref[...]  # (K, 3)
-    q = q_ref[...]  # (K, 3)
+    p = p_ref[...]  # (3, K)
+    q = q_ref[...]  # (3, K)
     valid = valid_ref[...]  # (1, K) f32
     d2 = None
     for i in range(3):
         Rp = jax.lax.dot_general(
             R9[:, 3 * i:3 * i + 3], p,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (TH, K)
-        # one-hot row selector built in-kernel (iota compare — Pallas
-        # kernels cannot capture array constants)
-        e_i = (jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
-               == i).astype(jnp.float32)
-        q_row = jax.lax.dot_general(
-            e_i, q, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (1, K)
-        r = q_row - Rp - t3[:, i:i + 1]
+        r = q[i:i + 1, :] - Rp - t3[:, i:i + 1]
         d2 = r * r if d2 is None else d2 + r * r
     inl = jnp.where((d2 < thr2) & (valid > 0.5), 1.0, 0.0)
     out_ref[...] = jnp.sum(inl, axis=1, keepdims=True).astype(jnp.int32)
 
 
 def rigid_counts_ref(R, t, p, q, valid, threshold):
-    """XLA reference scoring (identical math; used on CPU)."""
+    """XLA reference scoring (identical math; used on CPU). SoA points."""
     thr2 = float(threshold) * float(threshold)
     resid = q[None, :, :] - (
-        jnp.einsum("hij,kj->hki", R, p) + t[:, None, :])
-    d2 = jnp.sum(resid * resid, axis=-1)
+        jnp.einsum("hij,jk->hik", R, p) + t[:, :, None])
+    d2 = jnp.sum(resid * resid, axis=1)
     return jnp.sum((d2 < thr2) & valid[None, :], axis=1).astype(jnp.int32)
 
 
@@ -104,7 +95,7 @@ def rigid_counts(R: jnp.ndarray, t: jnp.ndarray, p: jnp.ndarray,
                  threshold: float, interpret: bool = False) -> jnp.ndarray:
     """Inlier counts for rigid-transform hypotheses.
 
-    R: (H, 3, 3); t: (H, 3); p, q: (K, 3); valid: (K,) bool.
+    R: (H, 3, 3); t: (H, 3); p, q: (3, K) SoA; valid: (K,) bool.
     Returns (H,) int32.
     """
     thr2 = float(threshold) * float(threshold)
@@ -120,7 +111,7 @@ def rigid_counts(R: jnp.ndarray, t: jnp.ndarray, p: jnp.ndarray,
     Hp = R9.shape[0]
     tile_h = _pick_tile(Hp)
     vf = valid.astype(jnp.float32)[None, :]  # (1, K)
-    K = p.shape[0]
+    K = p.shape[1]
 
     counts = pl.pallas_call(
         functools.partial(_rigid_counts_kernel, thr2=thr2),
@@ -130,8 +121,8 @@ def rigid_counts(R: jnp.ndarray, t: jnp.ndarray, p: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, 3), lambda h: (h, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 3), lambda h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 3), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_h, 1), lambda h: (h, 0),
@@ -152,32 +143,32 @@ def rigid_counts(R: jnp.ndarray, t: jnp.ndarray, p: jnp.ndarray,
 
 def _essential_counts_kernel(E9_ref, g_ref, f1_ref, f2_ref,
                              valid_ref, out_ref, *, thr: float):
-    """All point operands arrive in their NATURAL (K, ...) layout — the
-    contraction transposes on the MXU. The old (3, K)/(9, K) operand
-    forms made XLA materialize transposed copies of every bearing array
-    per candidate (the copy-start ops were ~25% of the round-4 profile).
-    E^T's rows are column-reorders of E9, sliced in VMEM."""
+    """All point operands in the pipeline-wide SoA (3, K)/(9, K) layout
+    (a (K, 3) array pads its 3-lane minor dim to a 128-lane tile — 42x
+    physical HBM, measured as the round-4 profile's dominant staging
+    copies). E^T's rows are column-reorders of E9, sliced in VMEM, so
+    the caller never materializes a transposed model table either."""
     E9 = E9_ref[...]  # (TH, 9) row-major E
-    g = g_ref[...]  # (K, 9): g[k, 3i+j] = f2[k, i] * f1[k, j]
-    f1 = f1_ref[...]  # (K, 3)
+    g = g_ref[...]  # (9, K): g[3i+j, k] = f2[i, k] * f1[j, k]
+    f1 = f1_ref[...]  # (3, K)
     f2 = f2_ref[...]
     valid = valid_ref[...]  # (1, K)
 
     num = jax.lax.dot_general(
-        E9, g, dimension_numbers=(((1,), (1,)), ((), ())),
+        E9, g, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (TH, K)
     den = None
     for i in range(2):  # only x, y components enter the denominator
         Ef1_i = jax.lax.dot_general(
             E9[:, 3 * i:3 * i + 3], f1,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         Eti = jnp.concatenate(
             [E9[:, c * 3 + i:c * 3 + i + 1] for c in range(3)],
             axis=1)  # (TH, 3) row i of E^T
         Etf2_i = jax.lax.dot_general(
             Eti, f2,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         term = Ef1_i * Ef1_i + Etf2_i * Etf2_i
         den = term if den is None else den + term
@@ -187,13 +178,14 @@ def _essential_counts_kernel(E9_ref, g_ref, f1_ref, f2_ref,
 
 
 def essential_counts_ref(E, f1, f2, valid, threshold):
-    """XLA reference scoring (identical math; used on CPU)."""
+    """XLA reference scoring (identical math; used on CPU). SoA
+    bearings: f1, f2 (3, K)."""
     thr = float(threshold)
-    Ef1 = jnp.einsum("hij,kj->hki", E, f1)
-    Etf2 = jnp.einsum("hji,kj->hki", E, f2)
-    num = jnp.sum(f2[None] * Ef1, axis=-1)
-    den = (Ef1[..., 0] ** 2 + Ef1[..., 1] ** 2
-           + Etf2[..., 0] ** 2 + Etf2[..., 1] ** 2)
+    Ef1 = jnp.einsum("hij,jk->hik", E, f1)
+    Etf2 = jnp.einsum("hji,jk->hik", E, f2)
+    num = jnp.sum(f2[None] * Ef1, axis=1)
+    den = (Ef1[:, 0, :] ** 2 + Ef1[:, 1, :] ** 2
+           + Etf2[:, 0, :] ** 2 + Etf2[:, 1, :] ** 2)
     err = (num * num) / jnp.maximum(den, _EPS)
     return jnp.sum((err < thr) & valid[None, :], axis=1).astype(jnp.int32)
 
@@ -203,7 +195,7 @@ def essential_counts(E: jnp.ndarray, f1: jnp.ndarray, f2: jnp.ndarray,
                      interpret: bool = False) -> jnp.ndarray:
     """Sampson-inlier counts for essential-matrix hypotheses.
 
-    E: (H, 3, 3); f1, f2: (K, 3) unit bearings; valid: (K,) bool.
+    E: (H, 3, 3); f1, f2: (3, K) SoA unit bearings; valid: (K,) bool.
     Returns (H,) int32.
     """
     thr = float(threshold)
@@ -217,10 +209,11 @@ def essential_counts(E: jnp.ndarray, f1: jnp.ndarray, f2: jnp.ndarray,
     E9 = _pad_h(E.reshape(H, 9))
     Hp = E9.shape[0]
     tile_h = _pick_tile(Hp)
-    # g columns ordered to match vec(E): g[:, 3i+j] = f2_i * f1_j
-    g = (f2[:, :, None] * f1[:, None, :]).reshape(-1, 9)  # (K, 9)
+    # g rows ordered to match vec(E): g[3i+j] = f2_i * f1_j — formed
+    # directly from the SoA bearings, no transposes
+    g = (f2[:, None, :] * f1[None, :, :]).reshape(9, -1)  # (9, K)
     vf = valid.astype(jnp.float32)[None, :]
-    K = f1.shape[0]
+    K = f1.shape[1]
 
     counts = pl.pallas_call(
         functools.partial(_essential_counts_kernel, thr=thr),
@@ -228,9 +221,9 @@ def essential_counts(E: jnp.ndarray, f1: jnp.ndarray, f2: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((tile_h, 9), lambda h: (h, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 9), lambda h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 3), lambda h: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 3), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K), lambda h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_h, 1), lambda h: (h, 0),

@@ -292,19 +292,21 @@ class VioPipeline:
             kmono = rngmod.derive(key, rngmod.Stream.RANSAC_MONO)
             mono_fn = (ransac_mod.ransac_essential_5pt if cfg.use_5pt_mono
                        else ransac_mod.ransac_essential)
-            mono = mono_fn(kmono, bear_prev, bear_cur, corresp,
+            # RANSAC engines take SoA (3, K); the VIO window buffers stay
+            # AoS (per-keyframe host loop, small K) and convert here
+            mono = mono_fn(kmono, bear_prev.T, bear_cur.T, corresp,
                            threshold=cfg.ransac_mono_threshold,
                            n_hyp=cfg.ransac_iterations,
                            min_inliers=cfg.min_mono_inliers)
             kst = rngmod.derive(key, rngmod.Stream.RANSAC_STEREO)
             both3d = corresp & lm_ok
             st_full = ransac_mod.ransac_arun(
-                kst, lm_prev, lm_cur, both3d,
+                kst, lm_prev.T, lm_cur.T, both3d,
                 threshold=cfg.ransac_stereo_threshold,
                 n_hyp=cfg.ransac_iterations,
                 min_inliers=cfg.min_stereo_inliers)
             st_1pt = ransac_mod.ransac_translation_known_rotation(
-                kst, lm_prev, lm_cur, R_imu, both3d,
+                kst, lm_prev.T, lm_cur.T, R_imu, both3d,
                 threshold=cfg.ransac_stereo_threshold,
                 min_inliers=cfg.min_stereo_inliers)
             pick_1pt = use_imu_rot & jnp.asarray(

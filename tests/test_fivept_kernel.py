@@ -113,8 +113,8 @@ def test_presel_counts_kernel_matches_ref():
     H, S, P = 192, 8, 64
     npr = np.random.default_rng(11)
     E_rows = jnp.asarray(npr.normal(size=(9 * S, H)).astype(np.float32))
-    f1 = jnp.asarray(npr.normal(size=(P, 3)).astype(np.float32))
-    f2 = jnp.asarray(npr.normal(size=(P, 3)).astype(np.float32))
+    f1 = jnp.asarray(npr.normal(size=(3, P)).astype(np.float32))
+    f2 = jnp.asarray(npr.normal(size=(3, P)).astype(np.float32))
     valid = jnp.asarray(npr.uniform(size=P) > 0.2)
     thr = 3e-2
     a = fivept.presel_counts(E_rows, f1, f2, valid, thr, S, interpret=True)

@@ -99,7 +99,7 @@ def test_ransac_arun_outliers():
     valid[-8:] = False  # padding
     key = rngmod.derive(rngmod.base_key(0), 1, 2, rngmod.Stream.RANSAC_STEREO)
     out = jax.jit(ransac.ransac_arun)(
-        key, jnp.asarray(p), jnp.asarray(q), jnp.asarray(valid)
+        key, jnp.asarray(p.T), jnp.asarray(q.T), jnp.asarray(valid)
     )
     assert bool(out["ok"])
     # all true inliers (valid, non-outlier) recovered
@@ -112,7 +112,7 @@ def test_ransac_arun_outliers():
     assert np.allclose(np.asarray(out["t"]), t_gt, atol=0.05)
     # determinism
     out2 = jax.jit(ransac.ransac_arun)(
-        key, jnp.asarray(p), jnp.asarray(q), jnp.asarray(valid)
+        key, jnp.asarray(p.T), jnp.asarray(q.T), jnp.asarray(valid)
     )
     assert np.array_equal(got, np.asarray(out2["inliers"]))
 
@@ -135,7 +135,7 @@ def test_ransac_essential_outliers():
     valid = np.ones(K, bool)
     key = rngmod.derive(rngmod.base_key(0), 0, 7, rngmod.Stream.RANSAC_MONO)
     out = jax.jit(ransac.ransac_essential)(
-        key, jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(valid)
+        key, jnp.asarray(f1.T), jnp.asarray(f2.T), jnp.asarray(valid)
     )
     assert bool(out["ok"])
     true_inl = np.ones(K, bool)
@@ -155,7 +155,8 @@ def test_ransac_translation_known_rotation():
     q[:20] += 5.0  # outliers
     key = rngmod.base_key(11)
     out = ransac.ransac_translation_known_rotation(
-        key, jnp.asarray(p), jnp.asarray(q), jnp.asarray(R), jnp.ones(K, bool)
+        key, jnp.asarray(p.T), jnp.asarray(q.T), jnp.asarray(R),
+        jnp.ones(K, bool)
     )
     assert bool(out["ok"])
     assert np.allclose(np.asarray(out["t"]), t_gt, atol=1e-3)
@@ -273,7 +274,7 @@ def test_ransac_essential_5pt_outliers():
     key = rngmod.derive(rngmod.base_key(3), rngmod.Stream.RANSAC_MONO)
     fn = jax.jit(lambda k, a, b, v: ransac.ransac_essential_5pt(
         k, a, b, v, n_hyp=64))
-    out = fn(key, jnp.asarray(f1), jnp.asarray(f2), jnp.ones(K, bool))
+    out = fn(key, jnp.asarray(f1.T), jnp.asarray(f2.T), jnp.ones(K, bool))
     assert bool(out["ok"])
     got = np.asarray(out["inliers"])
     true_inl = np.ones(K, bool); true_inl[out_idx] = False
@@ -322,7 +323,7 @@ def test_sample_gather_perm_kernel_matches_composition():
 
     npr = np.random.default_rng(5)
     K, H, k = 96, 300, 5
-    data = jnp.asarray(npr.normal(size=(K, 3)).astype(np.float32))
+    data = jnp.asarray(npr.normal(size=(3, K)).astype(np.float32))
     order = jnp.asarray(npr.permutation(K).astype(np.int32))
     inv = jnp.asarray(np.argsort(np.asarray(order)).astype(np.int32))
     picks = jnp.asarray(npr.integers(0, K, (H, k)).astype(np.int32))

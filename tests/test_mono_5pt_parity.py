@@ -52,8 +52,8 @@ def test_5pt_recall_dominates_8pt(outlier_ratio):
         f1, f2, clean = _problem(1000 + s, outlier_ratio)
         v = jnp.ones(K, bool)
         key = rngmod.derive(rngmod.base_key(0), s)
-        o5 = fn5(key, f1, f2, v)
-        o8 = fn8(key, f1, f2, v)
+        o5 = fn5(key, f1.T, f2.T, v)
+        o8 = fn8(key, f1.T, f2.T, v)
         n_clean = clean.sum()
         r5 = float(np.asarray(o5["inliers"])[clean].sum() / n_clean)
         r8 = float(np.asarray(o8["inliers"])[clean].sum() / n_clean)

@@ -147,13 +147,14 @@ def test_sharded_hypothesis_ransac_matches_single_device():
 
     # single-device with the same hypothesis count
     single = jax.jit(lambda k, a, b, v: ransac.ransac_arun(
-        k, a, b, v, n_hyp=512))(key, jnp.asarray(p), jnp.asarray(q),
+        k, a, b, v, n_hyp=512))(key, jnp.asarray(p.T), jnp.asarray(q.T),
                                 jnp.asarray(valid))
 
     # sharded over a 1-robot x 4-shard mesh
     m = mesh_mod.robot_mesh(1, intra=4)
     fn = sharded_verify.make_sharded_arun(m, n_hyp=512)
-    sharded = fn(key, jnp.asarray(p), jnp.asarray(q), jnp.asarray(valid))
+    sharded = fn(key, jnp.asarray(p.T), jnp.asarray(q.T),
+                 jnp.asarray(valid))
 
     assert int(single["n_inliers"]) == int(sharded["n_inliers"])
     np.testing.assert_array_equal(np.asarray(single["inliers"]),

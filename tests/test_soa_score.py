@@ -117,10 +117,11 @@ def test_score_kernels_match_reference_interpret():
     valid = rng.uniform(size=K) < 0.8
 
     ref = score.rigid_counts_ref(jnp.asarray(R), jnp.asarray(t),
-                                 jnp.asarray(p), jnp.asarray(q),
+                                 jnp.asarray(p.T), jnp.asarray(q.T),
                                  jnp.asarray(valid), 0.3)
-    got = score.rigid_counts(jnp.asarray(R), jnp.asarray(t), jnp.asarray(p),
-                             jnp.asarray(q), jnp.asarray(valid), 0.3,
+    got = score.rigid_counts(jnp.asarray(R), jnp.asarray(t),
+                             jnp.asarray(p.T), jnp.asarray(q.T),
+                             jnp.asarray(valid), 0.3,
                              interpret=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
@@ -131,12 +132,12 @@ def test_score_kernels_match_reference_interpret():
     f2 = rng.normal(size=(K, 3)).astype(np.float32)
     f2 /= np.linalg.norm(f2, axis=-1, keepdims=True)
     thr = 1e-3
-    ref_e = score.essential_counts_ref(jnp.asarray(E), jnp.asarray(f1),
-                                       jnp.asarray(f2), jnp.asarray(valid),
-                                       thr)
-    got_e = score.essential_counts(jnp.asarray(E), jnp.asarray(f1),
-                                   jnp.asarray(f2), jnp.asarray(valid), thr,
-                                   interpret=True)
+    ref_e = score.essential_counts_ref(jnp.asarray(E), jnp.asarray(f1.T),
+                                       jnp.asarray(f2.T),
+                                       jnp.asarray(valid), thr)
+    got_e = score.essential_counts(jnp.asarray(E), jnp.asarray(f1.T),
+                                   jnp.asarray(f2.T), jnp.asarray(valid),
+                                   thr, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref_e), np.asarray(got_e))
 
 
@@ -156,9 +157,9 @@ def test_ransac_results_unchanged_by_rewire():
     valid = np.ones(K, bool)
     key = rngmod.derive(rngmod.base_key(3), rngmod.Stream.RANSAC_STEREO)
     fn = jax.jit(lambda k, a, b, v: ransac.ransac_arun(k, a, b, v))
-    out = fn(key, jnp.asarray(p), jnp.asarray(q), jnp.asarray(valid))
+    out = fn(key, jnp.asarray(p.T), jnp.asarray(q.T), jnp.asarray(valid))
     assert bool(out["ok"])
     np.testing.assert_allclose(np.asarray(out["R"]), R_gt, atol=0.02)
-    out2 = fn(key, jnp.asarray(p), jnp.asarray(q), jnp.asarray(valid))
+    out2 = fn(key, jnp.asarray(p.T), jnp.asarray(q.T), jnp.asarray(valid))
     np.testing.assert_array_equal(np.asarray(out["inliers"]),
                                   np.asarray(out2["inliers"]))

@@ -146,11 +146,11 @@ def test_keyframes_feed_lcd(seq):
     key = rngmod.derive(rngmod.base_key(0), 0, 0, 1, 0)
     mono = ransac.ransac_essential(
         rngmod.derive(key, rngmod.Stream.RANSAC_MONO),
-        jnp.asarray(kf1.bearings), jnp.asarray(kf2.bearings)[idx],
+        jnp.asarray(kf1.bearings).T, jnp.asarray(kf2.bearings)[idx].T,
         matched, n_hyp=200, min_inliers=8)
     st = ransac.ransac_arun(
         rngmod.derive(key, rngmod.Stream.RANSAC_STEREO),
-        jnp.asarray(kf1.landmarks), jnp.asarray(kf2.landmarks)[idx],
+        jnp.asarray(kf1.landmarks).T, jnp.asarray(kf2.landmarks)[idx].T,
         matched & jnp.asarray(kf1.lm_valid)
         & jnp.asarray(kf2.lm_valid)[idx],
         n_hyp=200, min_inliers=4, threshold=0.5)
