@@ -285,7 +285,7 @@ def build_stage_fns(n_hyp: int = 500, use_5pt: bool = True):
     import jax.numpy as jnp
 
     from kimera_multi_tpu.core import rng as rngmod
-    from kimera_multi_tpu.kernels import hamming, ransac
+    from kimera_multi_tpu.kernels import gather, hamming, ransac
 
     @jax.jit
     def match_stage(da, db, v):
@@ -302,8 +302,8 @@ def build_stage_fns(n_hyp: int = 500, use_5pt: bool = True):
             idx = jnp.maximum(mi, 0)
             k = rngmod.derive(rngmod.base_key(0), cand_id,
                               rngmod.Stream.RANSAC_MONO)
-            return mono_fn(k, fq, fm[:, idx], matched, n_hyp=n_hyp,
-                           min_inliers=10)
+            return mono_fn(k, fq, gather.permute_cols(fm, idx), matched,
+                           n_hyp=n_hyp, min_inliers=10)
 
         ids = jnp.arange(m.shape[0])
         return jax.vmap(one)(ids, m, fa, fb)
@@ -315,8 +315,8 @@ def build_stage_fns(n_hyp: int = 500, use_5pt: bool = True):
             idx = jnp.maximum(mi, 0)
             k = rngmod.derive(rngmod.base_key(0), cand_id,
                               rngmod.Stream.RANSAC_STEREO)
-            return ransac.ransac_arun(k, pq, pm[:, idx], matched,
-                                      n_hyp=n_hyp, min_inliers=5)
+            return ransac.ransac_arun(k, pq, gather.permute_cols(pm, idx),
+                                      matched, n_hyp=n_hyp, min_inliers=5)
 
         ids = jnp.arange(m.shape[0])
         return jax.vmap(one)(ids, m, pa, pb)

@@ -48,7 +48,7 @@ from ..core.containers import (
     LCD_FAILED_POSE_RECOVERY,
     LCD_LOOP_DETECTED,
 )
-from ..kernels import bow as bow_kernel, hamming, ransac
+from ..kernels import bow as bow_kernel, gather, hamming, ransac
 from . import lcd as lcd_mod, vocab as vocab_mod
 from .dlc import FrontendConfig, VerifiedLC, build_pose_graph_from_loops
 
@@ -232,13 +232,15 @@ def make_verifier(cfg: FrontendConfig):
             kmono = rngmod.derive(key, rngmod.Stream.RANSAC_MONO)
             mono_fn = (ransac.ransac_essential_5pt if cfg.use_5pt
                        else ransac.ransac_essential)
+            bm_m = gather.permute_cols(bm, idx)
+            lm_m = gather.permute_cols(lmm, idx)
             mono = mono_fn(
-                kmono, bq, bm[:, idx], matched,
+                kmono, bq, bm_m, matched,
                 threshold=cfg.mono_threshold, n_hyp=cfg.ransac_hyp,
                 min_inliers=cfg.min_mono_inliers)
             kst = rngmod.derive(key, rngmod.Stream.RANSAC_STEREO)
             st = ransac.ransac_arun(
-                kst, lq, lmm[:, idx], matched,
+                kst, lq, lm_m, matched,
                 threshold=cfg.stereo_threshold, n_hyp=cfg.ransac_hyp,
                 min_inliers=cfg.min_stereo_inliers)
             R_qm, t_qm = lie.se3_inverse(st["R"], st["t"])

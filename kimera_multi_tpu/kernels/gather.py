@@ -151,3 +151,48 @@ def sample_gather_perm_t(data: jnp.ndarray, picks: jnp.ndarray,
         interpret=interpret,
     )(picksT, data, inv_order.astype(jnp.int32)[:, None])
     return out[:, :H]
+
+
+def _permute_cols_kernel(idx_ref, data_ref, out_ref):
+    idx = idx_ref[...]   # (1, K) int32: out column k <- data column idx[k]
+    data = data_ref[...]  # (D, K)
+    K = data.shape[1]
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    oh = (iota_j == idx).astype(jnp.float32)  # oh[j, k] = (j == idx[k])
+    out_ref[...] = jax.lax.dot_general(
+        data, oh, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def permute_cols(data: jnp.ndarray, idx: jnp.ndarray,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Column permutation as a one-hot MXU matmul: out[:, k] =
+    data[:, idx[k]].
+
+    The matched-reorder step of verification (aligning target bearings/
+    landmarks by match index) is a gather along the LANE dimension of an
+    SoA array — XLA lowers that as transpose + row gather + transpose
+    (two layout-change copies per array per candidate, visible as the
+    residual copy-start ops in the round-4 device profile). One
+    (K, K) one-hot contraction stays entirely in VMEM.
+
+    data: (D, K); idx: (K,) int32 in [0, K). Returns (D, K).
+    """
+    if not (_use_pallas() or interpret):
+        return data[:, idx]
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D, K = data.shape
+    out = pl.pallas_call(
+        _permute_cols_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, K), jnp.float32),
+        interpret=interpret,
+    )(idx.astype(jnp.int32)[None, :], data.astype(jnp.float32))
+    return out

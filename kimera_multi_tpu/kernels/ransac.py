@@ -325,15 +325,23 @@ def ransac_essential_5pt(
     # fused Sampson-inlier counting (Pallas on TPU)
     K = f1.shape[1]
     if preselect_pts and H > preselect_models and K > 2 * preselect_pts:
-        # preselect on the first `preselect_pts` VALID correspondences:
-        # `order` is the stable valid-first permutation, so this subset is
+        # preselect on the first `preselect_pts` VALID correspondences
+        # (the stable valid-first permutation, so this subset is
         # all-valid whenever >= preselect_pts correspondences are valid —
         # a sparse or outlier-front-loaded valid mask can no longer tie
-        # every model at zero and make top_k pick arbitrary survivors
-        sub = order[:preselect_pts]
+        # every model at zero and make top_k pick arbitrary survivors).
+        # Selection is a one-hot matmul against inv_order — equivalent
+        # to f[:, order[:P]] but with no argsort or lane-dim gather on
+        # the traced path (both profiled as real costs on TPU)
+        P = preselect_pts
+        sel = (inv_order[:, None]
+               == jnp.arange(P)[None, :]).astype(f1.dtype)  # (K, P)
+        f1p = f1 @ sel
+        f2p = f2 @ sel
+        m_valid = jnp.sum(valid.astype(jnp.int32))
+        validp = jnp.arange(P) < m_valid
         counts_hs = fivept.presel_counts(
-            E_rows, f1[:, sub], f2[:, sub], valid[sub], threshold,
-            n_starts)
+            E_rows, f1p, f2p, validp, threshold, n_starts)
         E_sel_raw, _flat_idx = fivept.select_models(
             E_rows, counts_hs, preselect_models, n_starts)
         E_sel, _okp = minimal._project_essential(E_sel_raw)

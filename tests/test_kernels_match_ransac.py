@@ -331,3 +331,17 @@ def test_sample_gather_perm_kernel_matches_composition():
                                     interpret=True)
     b = gather.sample_gather_perm_t(data, picks, order, inv)  # XLA path
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_permute_cols_kernel_matches_gather():
+    import numpy as np
+    import jax.numpy as jnp
+    from kimera_multi_tpu.kernels import gather
+
+    npr = np.random.default_rng(9)
+    D, K = 3, 160
+    data = jnp.asarray(npr.normal(size=(D, K)).astype(np.float32))
+    idx = jnp.asarray(npr.integers(0, K, K).astype(np.int32))
+    a = gather.permute_cols(data, idx, interpret=True)
+    b = data[:, idx]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
