@@ -63,10 +63,20 @@ def configure_compilation_cache() -> str:
     """Enable the persistent compilation cache with a BACKEND- and
     MACHINE-SPECIFIC directory. TPU and CPU runs must not share one
     cache, and CPU caches must not be shared across machine feature sets
-    or compile routes (see cpu_cache_fingerprint) — mixed entries
-    produced the round-3/4 full-suite SIGSEGVs. Returns the directory."""
+    or compile routes (see cpu_cache_fingerprint). Returns the directory.
+
+    KMT_DISABLE_COMPILE_CACHE=1 makes this a no-op: jax's persistent-
+    cache READ (`compilation_cache.get_executable_and_time`) segfaults
+    on this class of machine for some CPU executables regardless of
+    entry provenance (fresh dir, fingerprinted dir, no concurrent
+    writers — five full-suite crashes across rounds 3-4 share that exact
+    stack). The test runner sets the flag: tests that drive cli.run
+    in-process must not re-enable the cache for the whole pytest
+    process."""
     import os
 
+    if os.environ.get("KMT_DISABLE_COMPILE_CACHE"):
+        return ""
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     if is_tpu():

@@ -23,12 +23,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# CPU tests get their OWN cache, keyed by the host's CPU feature set and
-# compile route (core/backend.cpu_cache_fingerprint): entries AOT-
-# compiled elsewhere (the axon relay's compile service) and loaded here
-# SIGSEGV inside jax's cache read — that single failure mode broke every
-# round-3 full-suite run and one round-4 run before the fingerprinting.
-from kimera_multi_tpu.core.backend import configure_compilation_cache  # noqa: E402
-
-configure_compilation_cache()
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# The persistent compilation cache is DISABLED for tests. Every round-3
+# and round-4 full-suite crash (3x SIGSEGV, 2x SIGABRT) happened inside
+# jax's cache READ (`compilation_cache.py:238 get_executable_and_time`)
+# ~130 tests in — including with a completely fresh directory, a
+# machine-fingerprinted directory (core/backend.cpu_cache_fingerprint),
+# and no concurrent writers, so the deserializer itself is unsafe for
+# some executable this suite produces on this machine. Compiles are
+# LOCAL under run_tests.sh (PALLAS_AXON_POOL_IPS cleared), so the cost
+# of recompiling is bounded and the suite completes deterministically.
+# Production entry points (cli/*, bench.py) keep their caches via
+# core/backend.configure_compilation_cache — the TPU-side cache has
+# never crashed. Tests that drive cli.run IN-PROCESS would re-enable it
+# for the whole pytest process, so the kill-switch below makes
+# configure_compilation_cache a no-op under tests (and in the forked
+# e2e subprocesses, which inherit the environment).
+os.environ["KMT_DISABLE_COMPILE_CACHE"] = "1"
