@@ -280,9 +280,9 @@ def ransac_essential_5pt(
     n_hyp: int = 200,
     min_inliers: int = 10,
     n_starts: int = 8,
-    gn_iters: int = 12,
+    gn_iters: int = 8,
     preselect_pts: int = 64,
-    preselect_models: int = 256,
+    preselect_models: int = 128,
     refine: bool = True,
 ):
     """2d2d monocular RANSAC with the true 5-point minimal solver
@@ -304,11 +304,14 @@ def ransac_essential_5pt(
     Set preselect_pts=0 (or preselect_models >= n_hyp) to score
     exhaustively.
 
-    n_starts=8 / gn_iters=12 defaults: S=8 exactly fills an f32 sublane
-    tile in the fused kernel, and measured recall on the high-outlier
-    fixture (tests/test_mono_5pt_parity.py) is unchanged from the old
-    10x16 — the ~10-real-roots bound of the 5-pt problem makes extra
-    starts redundant, and GN converges quadratically."""
+    n_starts=8 / gn_iters=8 / preselect_models=128 defaults: S=8 exactly
+    fills an f32 sublane tile in the fused kernel, and measured recall on
+    the high-outlier fixture (tests/test_mono_5pt_parity.py) is unchanged
+    from the original 10 starts x 16 iters x 256 survivors — the ~10-real-
+    roots bound of the 5-pt problem makes extra starts redundant, GN
+    converges quadratically, and the preselect counts on 64 points rank
+    the true consensus model far above 128th (round-5 device profile: the
+    256-survivor projection+rescore tail was ~9 ms of the 60 ms batch)."""
     picks, order, inv_order = _masked_sample_parts(key, valid, n_hyp, 5)
     H, S = n_hyp, n_starts
     # fused model generation: one-hot MXU sample gather feeding the

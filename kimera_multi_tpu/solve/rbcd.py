@@ -99,8 +99,9 @@ def bucket_slice(buckets: EdgeBuckets, r) -> EdgeBuckets:
 class RbcdConfig(NamedTuple):
     rank: int = 5  # staircase rank r (> d = 3)
     inner_iters: int = 3  # (direction -> global step) cycles per round
-    cg_iters: int = 25  # CG iterations for the block Newton solve
+    cg_iters: int = 10  # PCG iterations for the block Newton solve
     step_init: float = 1.0  # cap on the exact-chord step (s* <= 4x this)
+    precond: bool = True  # block-Jacobi (per-pose 4x4) PCG
 
 
 def lift_params(
@@ -212,14 +213,67 @@ def _block_cost_bucketed(
     return jnp.sum(ww * c)
 
 
-def _newton_cg(cost_fn, Y_own: jnp.ndarray, cfg: RbcdConfig) -> jnp.ndarray:
-    """Matrix-free block Newton direction via CG (Hessian-vector products
-    from forward-over-reverse autodiff)."""
-    g = jax.grad(cost_fn)(Y_own)
-    grad_fn = jax.grad(cost_fn)
+def _block_jacobi_inv(src_pose, dst_pose, own_src, own_dst, t_e, kappa,
+                      tau, w, n_poses: int) -> jnp.ndarray:
+    """Inverted per-pose 4x4 diagonal blocks of the block Hessian.
+
+    The lifted block cost is exactly quadratic in Y_own and acts
+    IDENTICALLY AND INDEPENDENTLY on each of the r rows of a pose's
+    (r, d+1) block (every residual is linear with the same coefficients
+    per row), so the true block Hessian is a pose-coupled matrix tensored
+    with I_r. Its per-pose 4x4 diagonal blocks are analytic: an edge
+    (i -> j) with residuals r_rot = uR_j - uR_i R_ij and
+    r_tr = ut_j - ut_i - uR_i t_ij contributes (per unit row u)
+
+      at the SOURCE pose i:  2 w [kappa * R R^T (= kappa I, R orthogonal)
+                                  on uR, plus tau * outer([t;1], [t;1])]
+      at the DEST   pose j:  2 w [kappa I on uR, tau on ut]
+
+    Damped with the CG operator's 1e-6 Tikhonov term so the
+    preconditioner is exact for edge-free (padded) poses. Returns
+    (n_poses, 4, 4) inverses for block-Jacobi PCG.
+
+    Role of dpgo/ROPTLIB's preconditioned inner solve (the reference
+    solves its block subproblem with a Riemannian trust region over
+    cached data matrices, images/kimera-multi.drawio:2268,2513); here the
+    preconditioner is what keeps the CG iteration count — the sequential,
+    latency-bound part of an RBCD round on TPU — small."""
+    e4 = jnp.eye(4)
+    rot_mask = jnp.diag(jnp.asarray([1.0, 1.0, 1.0, 0.0]))
+    u = jnp.concatenate([t_e, jnp.ones_like(t_e[..., :1])], axis=-1)
+    H_src = (2.0 * w)[..., None, None] * (
+        kappa[..., None, None] * rot_mask
+        + tau[..., None, None] * (u[..., :, None] * u[..., None, :]))
+    H_dst = (2.0 * w)[..., None, None] * (
+        kappa[..., None, None] * rot_mask
+        + tau[..., None, None] * (e4 - rot_mask))
+    H = jnp.zeros((n_poses, 4, 4))
+    H = H.at[src_pose].add(
+        jnp.where(own_src[..., None, None], H_src, 0.0))
+    H = H.at[dst_pose].add(
+        jnp.where(own_dst[..., None, None], H_dst, 0.0))
+    H = H + 1e-6 * e4
+    return jnp.linalg.inv(H)
+
+
+def _newton_cg(cost_fn, Y_own: jnp.ndarray, cfg: RbcdConfig,
+               Minv: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Matrix-free block Newton direction via (preconditioned) CG.
+
+    The Hessian-vector product comes from `jax.linearize` of the
+    gradient: the primal gradient trace runs ONCE (it re-gathers the
+    fixed neighbor poses, which do not change during CG), and each CG
+    step applies only the linear tangent map. `Minv` (from
+    `_block_jacobi_inv`) enables block-Jacobi PCG."""
+    g, hvp_lin = jax.linearize(jax.grad(cost_fn), Y_own)
 
     def hvp(v):
-        return jax.jvp(grad_fn, (Y_own,), (v,))[1] + 1e-6 * v
+        return hvp_lin(v) + 1e-6 * v
+
+    if Minv is None:
+        apply_M = lambda r: r
+    else:
+        apply_M = lambda r: jnp.einsum("nab,nkb->nka", Minv, r)
 
     def cg_body(_, st):
         x, r, p, rs = st
@@ -227,13 +281,16 @@ def _newton_cg(cost_fn, Y_own: jnp.ndarray, cfg: RbcdConfig) -> jnp.ndarray:
         alpha = rs / jnp.maximum(jnp.sum(p * Ap), 1e-20)
         x = x + alpha * p
         r = r - alpha * Ap
-        rs2 = jnp.sum(r * r)
-        p = r + (rs2 / jnp.maximum(rs, 1e-20)) * p
+        z = apply_M(r)
+        rs2 = jnp.sum(r * z)
+        p = z + (rs2 / jnp.maximum(rs, 1e-20)) * p
         return x, r, p, rs2
 
     b = -g
+    z0 = apply_M(b)
     delta, *_ = jax.lax.fori_loop(
-        0, cfg.cg_iters, cg_body, (jnp.zeros_like(b), b, b, jnp.sum(b * b))
+        0, cfg.cg_iters, cg_body,
+        (jnp.zeros_like(b), b, z0, jnp.sum(b * z0))
     )
     return delta
 
@@ -249,7 +306,15 @@ def block_direction_bucketed(
     """Newton direction over this robot's edge bucket only."""
     w = edge_weights[bucket.idx]
     cost_fn = lambda Y: _block_cost_bucketed(Y, Y_all, robot, bucket, w)
-    return _newton_cg(cost_fn, Y_own, cfg)
+    Minv = None
+    if cfg.precond:
+        ww = jnp.where(bucket.valid, w, 0.0)
+        Minv = _block_jacobi_inv(
+            bucket.src_pose, bucket.dst_pose,
+            (bucket.src_robot == robot) & bucket.valid,
+            (bucket.dst_robot == robot) & bucket.valid,
+            bucket.t, bucket.kappa, bucket.tau, ww, Y_own.shape[0])
+    return _newton_cg(cost_fn, Y_own, cfg, Minv)
 
 
 def block_direction(
@@ -273,7 +338,15 @@ def block_direction(
     O(E_total) masked evaluation — prefer `block_direction_bucketed` (same
     semantics, O(E_robot)) anywhere a bucketing is available."""
     cost_fn = lambda Y: _block_cost(Y, Y_all, robot, edges, edge_weights)
-    return _newton_cg(cost_fn, Y_own, cfg)
+    Minv = None
+    if cfg.precond:
+        touches_src = (edges.src_robot == robot) & edges.valid
+        touches_dst = (edges.dst_robot == robot) & edges.valid
+        ww = jnp.where(edges.valid, edge_weights, 0.0)
+        Minv = _block_jacobi_inv(
+            edges.src_pose, edges.dst_pose, touches_src, touches_dst,
+            edges.t, edges.kappa, edges.tau, ww, Y_own.shape[0])
+    return _newton_cg(cost_fn, Y_own, cfg, Minv)
 
 
 def _global_step(

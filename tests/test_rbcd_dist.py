@@ -30,7 +30,13 @@ def test_rbcd_reference_converges():
     Y, costs = rbcd.solve_rounds(Y0, active, g.edges, g.poses_per_robot, cfg,
                                  n_rounds=20)
     costs = np.asarray(costs)
-    assert costs[-1] < costs[0] * 0.2
+    # against the cost at Y0 (costs[0] is already AFTER one round — with
+    # block-Jacobi PCG the first round alone nearly converges, so a
+    # ratio against costs[0] no longer measures progress)
+    c_init = float(rbcd.lifted_cost(
+        Y0.reshape(-1, Y0.shape[2], Y0.shape[3]), g.edges,
+        jnp.ones(g.edges.capacity), g.poses_per_robot))
+    assert costs[-1] < c_init * 0.2
     # monotone non-increasing (within tolerance — parallel RBCD can tick up
     # transiently, but the backtracking ladder guards per-block descent)
     assert costs[-1] <= costs.min() * 1.05
