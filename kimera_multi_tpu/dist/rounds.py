@@ -80,6 +80,22 @@ def make_round_fn(
         robot0 = jax.lax.axis_index(ROBOT_AXIS) * Y_local.shape[0]
         n_local = Y_local.shape[0]
 
+        # block-Jacobi preconditioner blocks depend only on (edges,
+        # weights): build once per round, reuse across inner cycles
+        if cfg.precond:
+            def prec_one(i, acc):
+                robot = robot0 + i
+                m = rbcd.bucket_precond(
+                    rbcd.bucket_slice(buckets, robot), robot, weights,
+                    Y_local.shape[1])
+                return acc.at[i].set(m)
+
+            Minv_local = jax.lax.fori_loop(
+                0, n_local, prec_one,
+                jnp.zeros((n_local, Y_local.shape[1], 4, 4)))
+        else:
+            Minv_local = None
+
         def cycle(_, Yl):
             # separator exchange (drawio:2340-2355): gather all blocks
             Y_all = jax.lax.all_gather(Yl, ROBOT_AXIS, axis=0, tiled=True)
@@ -90,7 +106,8 @@ def make_round_fn(
                 robot = robot0 + i
                 d = rbcd.block_direction_bucketed(
                     Yl[i], Y_all, robot, rbcd.bucket_slice(buckets, robot),
-                    weights, cfg
+                    weights, cfg,
+                    Minv=None if Minv_local is None else Minv_local[i]
                 )
                 d = jnp.where(act_all[robot], d, 0.0)
                 return deltas.at[i].set(d)

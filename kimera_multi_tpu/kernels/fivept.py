@@ -232,43 +232,45 @@ def _fivept_models_ref(f1s, f2s, n_starts, gn_iters, project: bool = True):
 
 
 def _presel_counts_kernel(E_ref, g_ref, f1s_ref, f2s_ref, vm_ref, out_ref,
-                          *, n_starts: int, thr: float):
-    """Sampson-inlier counts over the preselect points, consumed straight
-    off the model rows in their native (9 S, TH) layout — zero relayouts.
-    For each start s the 9 model-entry rows are sliced out and contracted
-    against the point data on the MXU; intermediates are (P, TH)."""
-    S = n_starts
-    E = E_ref[...]        # (9 S, TH)
+                          *, thr: float):
+    """Sampson-inlier counts over the preselect points for one lane tile
+    of the FLATTENED (start x hypothesis) model axis.
+
+    The caller merges the start axis into lanes with a free XLA reshape
+    of the (9 S, H) model rows (rows are entry-major, so
+    (9 S, H) -> (9, S H) moves no data), so ALL models in a tile score
+    in SIX MXU contractions. The previous per-start loop issued
+    6 S = 48 thin matmuls per tile (contraction dims 3/9); Mosaic's
+    per-dot overhead made it the #2 op of the round-5 device profile at
+    8.4 ms/batch. Intermediates are (P, TL)."""
+    E = E_ref[...]        # (9, TL): column s*H+h is model (h, s)
     g = g_ref[...]        # (9, P): g[3i+j, p] = f2[i, p] * f1[j, p]
     f1s = f1s_ref[...]    # (3, P) SoA
     f2s = f2s_ref[...]    # (3, P)
     vm = vm_ref[...]      # (1, P) f32 valid mask
-    for s in range(S):
-        E_s = jnp.concatenate(
-            [E[e * S + s:e * S + s + 1, :] for e in range(9)], axis=0)
-        num = jax.lax.dot_general(
-            g, E_s, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (P, TH)
-        den = None
-        for i in range(2):
-            Ei = E_s[3 * i:3 * i + 3, :]  # (3, TH) row i of E
-            Eti = jnp.concatenate(
-                [E_s[c * 3 + i:c * 3 + i + 1, :] for c in range(3)],
-                axis=0)  # (3, TH) row i of E^T
-            a = jax.lax.dot_general(
-                f1s, Ei, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            b = jax.lax.dot_general(
-                f2s, Eti, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            t = a * a + b * b
-            den = t if den is None else den + t
-        err = (num * num) / jnp.maximum(den, _EPS)
-        inl = jnp.where(err < thr, 1.0, 0.0)  # (P, TH)
-        cnt = jax.lax.dot_general(
-            vm, inl, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (1, TH)
-        out_ref[s:s + 1, :] = cnt.astype(jnp.int32)
+    num = jax.lax.dot_general(
+        g, E, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (P, TL)
+    den = None
+    for i in range(2):
+        Ei = E[3 * i:3 * i + 3, :]  # (3, TL) row i of E
+        Eti = jnp.concatenate(
+            [E[c * 3 + i:c * 3 + i + 1, :] for c in range(3)],
+            axis=0)  # (3, TL) row i of E^T
+        a = jax.lax.dot_general(
+            f1s, Ei, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        b = jax.lax.dot_general(
+            f2s, Eti, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        t = a * a + b * b
+        den = t if den is None else den + t
+    err = (num * num) / jnp.maximum(den, _EPS)
+    inl = jnp.where(err < thr, 1.0, 0.0)  # (P, TL)
+    cnt = jax.lax.dot_general(
+        vm, inl, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (1, TL)
+    out_ref[...] = cnt.astype(jnp.int32)
 
 
 def presel_counts(E_rows: jnp.ndarray, f1p: jnp.ndarray, f2p: jnp.ndarray,
@@ -295,19 +297,24 @@ def presel_counts(E_rows: jnp.ndarray, f1p: jnp.ndarray, f2p: jnp.ndarray,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    tile = 512 if H % 512 == 0 else 128
-    pad = (-H) % tile
+    # free relayout: rows are entry-major (row e*S + s), so the start
+    # axis merges into lanes without moving data; column s*H + h of
+    # E_all is model (hypothesis h, start s)
+    E_all = E_rows.reshape(9, S * H)
+    L = S * H
+    tile = min(4096, -(-L // 512) * 512)
+    pad = (-L) % tile
     if pad:
-        E_rows = jnp.pad(E_rows, ((0, 0), (0, pad)))
-    Hp = H + pad
+        E_all = jnp.pad(E_all, ((0, 0), (0, pad)))
+    Lp = L + pad
     P = f1p.shape[1]
     g = (f2p[:, None, :] * f1p[None, :, :]).reshape(9, P)
     vm = validp.astype(jnp.float32)[None, :]
     out = pl.pallas_call(
-        functools.partial(_presel_counts_kernel, n_starts=S, thr=thr),
-        grid=(Hp // tile,),
+        functools.partial(_presel_counts_kernel, thr=thr),
+        grid=(Lp // tile,),
         in_specs=[
-            pl.BlockSpec((9 * S, tile), lambda h: (0, h),
+            pl.BlockSpec((9, tile), lambda h: (0, h),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, P), lambda h: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -318,13 +325,13 @@ def presel_counts(E_rows: jnp.ndarray, f1p: jnp.ndarray, f2p: jnp.ndarray,
             pl.BlockSpec((1, P), lambda h: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((S, tile), lambda h: (0, h),
+        out_specs=pl.BlockSpec((1, tile), lambda h: (0, h),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, Hp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, Lp), jnp.int32),
         interpret=interpret,
-    )(E_rows.astype(jnp.float32), g.astype(jnp.float32),
+    )(E_all.astype(jnp.float32), g.astype(jnp.float32),
       f1p.astype(jnp.float32), f2p.astype(jnp.float32), vm)
-    return out[:, :H].T
+    return out[0, :L].reshape(S, H).T
 
 
 def select_models(E_rows: jnp.ndarray, counts: jnp.ndarray, n_keep: int,
