@@ -70,6 +70,18 @@ def test_sharded_round_matches_reference():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_spd4_inv_matches_lu():
+    """Closed-form Schur-split 4x4 inverse == LAPACK-style inverse."""
+    npr = np.random.default_rng(3)
+    A = npr.normal(0, 1, (64, 4, 4)).astype(np.float32)
+    H = A @ np.swapaxes(A, 1, 2) + 0.05 * np.eye(4, dtype=np.float32)
+    from kimera_multi_tpu.solve.rbcd import _spd4_inv
+
+    got = np.asarray(_spd4_inv(jnp.asarray(H)))
+    want = np.linalg.inv(H.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def test_bucketed_round_matches_masked():
     """O(E_robot) bucketed block updates == O(E_total) masked updates."""
     g, params0, Y0 = _setup(seed=7, n_robots=3, n_poses=16)
