@@ -165,13 +165,17 @@ def _block_cost(
     n_robots, N = Y_all.shape[0], Y_all.shape[1]
     Y_fixed = jax.lax.stop_gradient(Y_all)
 
-    def pick(rob, idx):
-        base = Y_fixed[rob, idx]
-        mine = Y_own[idx]
-        return jnp.where((rob == robot)[..., None, None], mine, base)
-
-    Yi = pick(edges.src_robot, edges.src_pose)
-    Yj = pick(edges.dst_robot, edges.dst_pose)
+    # ONE concatenated endpoint gather (src rows then dst rows): its
+    # transpose is a single scatter-add, where two separate picks cost
+    # two scatter fusions per Hessian-vector product — the dominant ops
+    # of the CG loop in the round-5 device profile (33 ms of a 99 ms
+    # 6x2048 round)
+    rob2 = jnp.concatenate([edges.src_robot, edges.dst_robot])
+    idx2 = jnp.concatenate([edges.src_pose, edges.dst_pose])
+    Yg = jnp.where((rob2 == robot)[:, None, None], Y_own[idx2],
+                   Y_fixed[rob2, idx2])
+    Em = edges.src_robot.shape[0]
+    Yi, Yj = Yg[:Em], Yg[Em:]
     touches = (edges.src_robot == robot) | (edges.dst_robot == robot)
     w = jnp.where(edges.valid & touches, edge_weights, 0.0)
     YRi, yti = Yi[..., :3], Yi[..., 3]
@@ -195,13 +199,14 @@ def _block_cost_bucketed(
     O(E_robot) instead of O(E_total)-masked."""
     Y_fixed = jax.lax.stop_gradient(Y_all)
 
-    def pick(rob, idx):
-        base = Y_fixed[rob, idx]
-        mine = Y_own[idx]
-        return jnp.where((rob == robot)[..., None, None], mine, base)
-
-    Yi = pick(b.src_robot, b.src_pose)
-    Yj = pick(b.dst_robot, b.dst_pose)
+    # single concatenated endpoint gather — one scatter-add per HVP in
+    # the CG loop instead of two (see _block_cost)
+    rob2 = jnp.concatenate([b.src_robot, b.dst_robot])
+    idx2 = jnp.concatenate([b.src_pose, b.dst_pose])
+    Yg = jnp.where((rob2 == robot)[:, None, None], Y_own[idx2],
+                   Y_fixed[rob2, idx2])
+    Em = b.src_robot.shape[0]
+    Yi, Yj = Yg[:Em], Yg[Em:]
     ww = jnp.where(b.valid, w, 0.0)
     YRi, yti = Yi[..., :3], Yi[..., 3]
     YRj, ytj = Yj[..., :3], Yj[..., 3]
