@@ -479,7 +479,15 @@ def run_vio_sim(args):
             kf = vio.process_frame(ts, seq.left[k], seq.right[k])
             if kf is not None:
                 kfs.append(kf)
-        kf_all.append(kfs)
+        # take the FINAL keyframe states, not the creation-time snapshots
+        # process_frame returns: gravity alignment (keyframe 0) and every
+        # sliding-window re-solve _replace entries of vio.keyframes with
+        # refined poses. The snapshots fed the back-end keyframe 0's
+        # PRE-ALIGNMENT identity attitude — a spurious ~90 deg first
+        # odometry edge, visible as a constant ~2.0 full-SE(3) APE offset
+        # on every vio-sim run (translation APE was unaffected).
+        assert len(vio.keyframes) == len(kfs)
+        kf_all.append(list(vio.keyframes))
         print(f"[run] robot {r}: VIO produced {len(kfs)} keyframes "
               f"(frames {o}..{o + F - 1})", file=sys.stderr)
 

@@ -86,7 +86,15 @@ def ape(
     R_ref: jnp.ndarray,
     align: bool = True,
 ) -> ApeResult:
-    """APE between already-associated trajectories."""
+    """APE between already-associated trajectories.
+
+    Caveat (evo-protocol semantics): the SE(3) alignment fits POSITIONS
+    only (`traj_est.align`), so on a (near-)straight trajectory the roll
+    about the track axis is unconstrained and lands wherever noise takes
+    it — `rmse_full` then reports an arbitrary constant rotation offset
+    even when the estimated attitudes are consistent with ground truth
+    up to a global rotation. On such segments read `rmse_trans` (always
+    well-posed) and judge attitudes by relative rotations."""
     if align:
         Ra, ta, _ = umeyama_alignment(t_est, t_ref)
         n = t_est.shape[0]

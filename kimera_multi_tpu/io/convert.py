@@ -99,6 +99,12 @@ def euroc_to_observations(root: str, cfg=None, max_frames: int | None = None,
             kfs.append(kf)
     if not kfs:
         raise ValueError(f"VIO produced no keyframes for {root}")
+    # final keyframe states, not creation-time snapshots: gravity
+    # alignment and the sliding-window re-solves _replace entries of
+    # vio.keyframes with refined poses after process_frame returns (see
+    # cli/run.py run_vio_sim — same fix)
+    assert len(vio.keyframes) == len(kfs)
+    kfs = list(vio.keyframes)
     T, K = len(kfs), cfg.max_features
     desc = np.zeros((T, K, 32), np.uint8)
     bear = np.zeros((T, K, 3), np.float32)

@@ -97,6 +97,16 @@ def _vio_sim_e2e_body(tmp_path):
     assert res["n_loops"] >= 1
     for r, ape in res["ape"].items():
         assert float(ape.rmse_trans) < 0.5, (r, float(ape.rmse_trans))
+        # regression (round 5): the back-end used to consume the VIO
+        # keyframes' creation-time snapshots, so keyframe 0 kept its
+        # PRE-gravity-alignment identity attitude — a spurious ~90 deg
+        # first odometry edge that pushed the full-SE(3) APE above 2.0
+        # on every run while translation stayed clean. The residual
+        # ~0.8-0.9 after the fix is the evo-style POSITION alignment's
+        # unconstrained roll about this short near-straight arc (the
+        # attitude-consistent global fit leaves < 0.5 deg per pose —
+        # measured in the round-5 investigation), not estimation error.
+        assert float(ape.rmse_full) < 1.5, (r, float(ape.rmse_full))
 
     # reference-schema logs landed
     for r in range(2):
